@@ -1,0 +1,190 @@
+"""Environment-driven configuration.
+
+Covers the reference settings surface (reference: backend/config.py:22-195 —
+~35 flags for server, DB, storage, OCR engine, preprocessing toggles,
+confidence thresholds, export) and adds the TPU-native knobs (mesh shape,
+dtype policy, shape buckets, batch sizes) that replace the reference's cloud
+credentials (Azure/Gemini keys are gone — all compute is local).
+
+Implemented on plain pydantic (pydantic-settings is not vendored): values are
+read from the process environment and an optional ``.env`` file at the repo
+root, case-insensitively, with unknown keys ignored — the same contract as the
+reference's ``SettingsConfigDict(env_file=".env", case_sensitive=False,
+extra="ignore")``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from pathlib import Path
+from typing import Any
+
+from pydantic import BaseModel, Field
+
+
+def _parse_env_file(path: Path) -> dict[str, str]:
+    """Parse a minimal KEY=VALUE .env file (comments + blank lines ignored)."""
+    out: dict[str, str] = {}
+    if not path.is_file():
+        return out
+    for line in path.read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, val = line.partition("=")
+        val = val.strip().strip("'\"")
+        out[key.strip().upper()] = val
+    return out
+
+
+class Settings(BaseModel):
+    """All framework settings. Every field can be set via environment variable
+    of the same (upper-cased) name."""
+
+    # --- server (reference: backend/config.py:36-45) ---
+    app_name: str = "OCR System TPU"
+    app_version: str = "0.1.0"
+    debug: bool = False
+    host: str = "0.0.0.0"
+    port: int = 8000
+    log_level: str = "INFO"
+
+    # --- database (reference uses Postgres; we default to sqlite) ---
+    database_path: str = "storage/ocr_system.db"
+
+    # --- storage (reference: backend/config.py:126-148) ---
+    storage_root: str = "storage"
+    upload_dir: str = "uploads"
+    export_dir: str = "exports"
+    processed_dir: str = "processed"
+    max_upload_size_mb: int = 20
+    allowed_extensions: tuple[str, ...] = ("png", "jpg", "jpeg", "pdf", "tiff", "tif")
+
+    # --- OCR engine selection (reference: config.py:70 OCR_INFERENCE_METHOD) ---
+    # "jax" = local TPU det+rec stack (the whole point); "fake" = deterministic
+    # test engine (the seam the reference demonstrates with 3 engine files).
+    ocr_engine: str = "jax"
+
+    # --- preprocessing toggles (reference: config.py:84-87, 69) ---
+    enable_deskew: bool = True
+    enable_contrast_enhancement: bool = True
+    enable_adaptive_binarization: bool = False
+    max_image_dimension: int = 2000
+    pdf_raster_dpi: int = 300
+    jpeg_quality: int = 92
+
+    # --- confidence thresholds (reference: config.py:90-91) ---
+    confidence_threshold_high: float = 0.85
+    confidence_threshold_medium: float = 0.60
+
+    # --- extraction (replaces Gemini config, reference: config.py:52-62) ---
+    extraction_method: str = "rules"  # "rules" | "layout_model"
+    extraction_max_retries: int = 3
+    extraction_temperature: float = 0.1
+
+    # --- rate limits (reference: main.py:174-179, rate_limit.py:244-253) ---
+    rate_limit_per_minute: int = 60
+    rate_limit_per_hour: int = 1000
+    ocr_rate_limit_per_minute: int = 20
+    llm_rate_limit_per_minute: int = 30
+
+    # --- TPU-native knobs (no reference analog; see SURVEY.md §2.4) ---
+    mesh_shape: str = "dp=-1"  # e.g. "dp=4,tp=2"; -1 = fill remaining devices
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    det_image_buckets: tuple[int, ...] = (640, 960, 1280)
+    rec_image_height: int = 48
+    rec_width_buckets: tuple[int, ...] = (80, 160, 320, 640)
+    rec_batch_size: int = 64
+    det_batch_size: int = 8
+    max_boxes_per_page: int = 1024
+    max_text_len: int = 64
+
+    # --- model checkpoints ---
+    checkpoint_dir: str = "checkpoints"
+    det_checkpoint: str = ""  # empty -> deterministic random init
+    rec_checkpoint: str = ""
+    extract_checkpoint: str = ""
+
+    # ---- computed path properties (reference: config.py:111-148 auto-create) ----
+    @property
+    def storage_path(self) -> Path:
+        p = Path(self.storage_root)
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    @property
+    def upload_path(self) -> Path:
+        p = self.storage_path / self.upload_dir
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    @property
+    def export_path(self) -> Path:
+        p = self.storage_path / self.export_dir
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    @property
+    def processed_path(self) -> Path:
+        p = self.storage_path / self.processed_dir
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    @property
+    def db_path(self) -> Path:
+        p = Path(self.database_path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        return p
+
+    @property
+    def max_upload_size_bytes(self) -> int:
+        return self.max_upload_size_mb * 1024 * 1024
+
+    def parsed_mesh_shape(self) -> dict[str, int]:
+        """Parse "dp=4,tp=2" into {"dp": 4, "tp": 2}. A single -1 axis is
+        filled with the remaining device count at mesh build time."""
+        out: dict[str, int] = {}
+        for part in self.mesh_shape.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            name, _, size = part.partition("=")
+            out[name.strip()] = int(size)
+        return out
+
+    @classmethod
+    def from_env(cls, env_file: str | os.PathLike[str] | None = ".env") -> "Settings":
+        raw: dict[str, Any] = {}
+        file_vals = _parse_env_file(Path(env_file)) if env_file else {}
+        env_vals = {k.upper(): v for k, v in os.environ.items()}
+        merged = {**file_vals, **env_vals}
+        for name, field in cls.model_fields.items():
+            key = name.upper()
+            if key not in merged:
+                continue
+            sval = merged[key]
+            ann = field.annotation
+            if ann is bool:
+                raw[name] = sval.strip().lower() in ("1", "true", "yes", "on")
+            elif ann is not None and "tuple" in str(ann):
+                items = [s.strip() for s in sval.split(",") if s.strip()]
+                if items and items[0].isdigit():
+                    raw[name] = tuple(int(s) for s in items)
+                else:
+                    raw[name] = tuple(items)
+            else:
+                raw[name] = sval
+        return cls(**raw)
+
+
+@functools.lru_cache(maxsize=1)
+def get_settings() -> Settings:
+    """Cached settings singleton (reference: config.py:181-195)."""
+    return Settings.from_env()
+
+
+def reset_settings_cache() -> None:
+    """Test helper: clear the cached singleton so env changes take effect."""
+    get_settings.cache_clear()

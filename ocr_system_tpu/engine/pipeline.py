@@ -1,0 +1,265 @@
+"""The OCR engine: page pixels -> markdown + layout boxes.
+
+Implements the exact service contract the reference defines
+(ocr_service.py:48-104 `OCROutput`/`DocumentOCRResult` and :695-731
+`process_document`) so everything above the engine — orchestration, bbox
+matching, persistence, REST, frontend — is engine-agnostic, the same seam the
+reference demonstrates with its three interchangeable engine files.
+
+Layout boxes follow the Azure shape captured in azure_debug_output.json:
+    {"type": "word|line|paragraph", "content": str, "confidence": float,
+     "polygon": [x0,y0,x1,y1,x2,y2,x3,y3], "page_number": int}
+with page_dimensions as pixel-scale width/height (the frontend handles this
+scale, working_viewer.py:112-114).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ocr_system_tpu.core.config import Settings, get_settings
+from ocr_system_tpu.engine import reading_order
+from ocr_system_tpu.engine.detector import Detector
+from ocr_system_tpu.engine.preprocess import PageImage, load_document
+from ocr_system_tpu.engine.recognizer import Recognizer
+
+
+@dataclass
+class OCROutput:
+    """Per-page OCR result (reference OCROutput, ocr_service.py:48-79)."""
+
+    success: bool
+    markdown: str = ""
+    html: str = ""
+    json_content: dict = field(default_factory=dict)
+    layout_boxes: list[dict] = field(default_factory=list)
+    page_number: int = 1
+    page_width: float = 0.0
+    page_height: float = 0.0
+    processing_time_ms: float = 0.0
+    error: str | None = None
+    processed_image: np.ndarray | None = None  # (H, W, 3) uint8 for overlay UI
+
+
+@dataclass
+class DocumentOCRResult:
+    """Whole-document result (reference DocumentOCRResult, ocr_service.py:82-104)."""
+
+    success: bool
+    pages: list[OCROutput] = field(default_factory=list)
+    combined_markdown: str = ""
+    combined_html: str = ""
+    total_pages: int = 0
+    processing_time_ms: float = 0.0
+    error: str | None = None
+
+    @property
+    def combined_layout_boxes(self) -> list[dict]:
+        return [b for p in self.pages for b in p.layout_boxes]
+
+
+class JaxOCREngine:
+    """The local TPU det+rec engine (replaces Azure, engine='jax')."""
+
+    name = "jax"
+
+    def __init__(
+        self,
+        settings: Settings | None = None,
+        detector: Detector | None = None,
+        recognizer: Recognizer | None = None,
+    ):
+        self.settings = settings or get_settings()
+        self.detector = detector or Detector(self.settings)
+        self.recognizer = recognizer or Recognizer(self.settings)
+
+    # -- single page --
+
+    def process_page(self, page: PageImage) -> OCROutput:
+        t0 = time.perf_counter()
+        det = self.detector.detect_batch([page.pixels])[0]
+        return self._finish_page(page, det, t0)
+
+    def _finish_page(self, page: PageImage, det, t0: float) -> OCROutput:
+        quads = np.array([b.quad for b in det.boxes], np.float32).reshape(-1, 4, 2)
+        recs = self.recognizer.recognize_page(page.pixels, quads)
+
+        blocks = []
+        word_boxes: list[dict] = []
+        for b, r in zip(det.boxes, recs):
+            conf = float(min(b.score, r.confidence) if r.text else b.score * 0.5)
+            blocks.append(
+                reading_order.TextBlock(quad=b.quad, text=r.text, confidence=conf)
+            )
+            word_boxes.append(
+                {
+                    "type": "word",
+                    "content": r.text,
+                    "confidence": round(conf, 4),
+                    "polygon": b.flat_polygon(),
+                    "page_number": page.page_number,
+                }
+            )
+        lines = reading_order.order_blocks(blocks)
+        line_boxes = [
+            {
+                "type": "line",
+                "content": ln.text,
+                "confidence": round(ln.confidence, 4),
+                "polygon": [float(v) for v in ln.quad.reshape(-1)],
+                "page_number": page.page_number,
+            }
+            for ln in lines
+        ]
+        markdown = reading_order.to_markdown(lines)
+        elapsed = (time.perf_counter() - t0) * 1000.0
+        return OCROutput(
+            success=True,
+            markdown=markdown,
+            html="<br>\n".join(ln.text for ln in lines),
+            json_content={"lines": [ln.text for ln in lines]},
+            layout_boxes=word_boxes + line_boxes,
+            page_number=page.page_number,
+            page_width=float(page.width),
+            page_height=float(page.height),
+            processing_time_ms=elapsed,
+            processed_image=page.pixels,
+        )
+
+    # -- document (the OCRService.process_document contract) --
+
+    def process_document(self, data: bytes, filename: str) -> DocumentOCRResult:
+        t0 = time.perf_counter()
+        try:
+            pages = load_document(data, filename, dpi=self.settings.pdf_raster_dpi)
+        except Exception as e:  # decode failure is a structured error, not a crash
+            return DocumentOCRResult(success=False, error=f"decode failed: {e}")
+        outputs = self.process_pages(pages)
+        combined_md = combine_markdown([p.markdown for p in outputs])
+        combined_html = "\n<hr>\n".join(p.html for p in outputs)
+        return DocumentOCRResult(
+            success=all(p.success for p in outputs) and bool(outputs),
+            pages=outputs,
+            combined_markdown=combined_md,
+            combined_html=combined_html,
+            total_pages=len(outputs),
+            processing_time_ms=(time.perf_counter() - t0) * 1000.0,
+            error=None if outputs else "no pages decoded",
+        )
+
+    def process_pages(self, pages: list[PageImage]) -> list[OCROutput]:
+        """Batched path: detection runs on the whole page batch at once
+        (replaces the reference's Semaphore(1) serial page loop,
+        ocr_service.py:620-627)."""
+        t0 = time.perf_counter()
+        dets = self.detector.detect_batch([p.pixels for p in pages])
+        return [self._finish_page(p, d, t0) for p, d in zip(pages, dets)]
+
+    def get_status(self) -> dict:
+        """Reference get_status contract (ocr_service.py:759-800)."""
+        import jax
+
+        return {
+            "engine": self.name,
+            "available": True,
+            "devices": [str(d) for d in jax.devices()],
+            "det_buckets": list(self.settings.det_image_buckets),
+            "rec_buckets": list(self.settings.rec_width_buckets),
+        }
+
+
+class FakeOCREngine:
+    """Deterministic engine for tests (the seam SURVEY.md §4 calls for).
+    Returns a fixed layout so API/service tests need no model compile."""
+
+    name = "fake"
+
+    def __init__(self, settings: Settings | None = None, text: str = "HELLO WORLD"):
+        self.settings = settings or get_settings()
+        self.text = text
+
+    def process_document(self, data: bytes, filename: str) -> DocumentOCRResult:
+        try:
+            pages = load_document(data, filename)
+        except Exception as e:
+            return DocumentOCRResult(success=False, error=str(e))
+        outs = []
+        for pg in pages:
+            words = self.text.split()
+            w = pg.width / max(len(words) * 2, 1)
+            boxes = []
+            for i, word in enumerate(words):
+                x0 = (2 * i) * w
+                poly = [x0, 10.0, x0 + w, 10.0, x0 + w, 30.0, x0, 30.0]
+                boxes.append(
+                    {
+                        "type": "word",
+                        "content": word,
+                        "confidence": 0.99,
+                        "polygon": poly,
+                        "page_number": pg.page_number,
+                    }
+                )
+            boxes.append(
+                {
+                    "type": "line",
+                    "content": self.text,
+                    "confidence": 0.99,
+                    "polygon": [0.0, 10.0, pg.width * 1.0, 10.0, pg.width * 1.0, 30.0, 0.0, 30.0],
+                    "page_number": pg.page_number,
+                }
+            )
+            outs.append(
+                OCROutput(
+                    success=True,
+                    markdown=self.text,
+                    html=self.text,
+                    json_content={"lines": [self.text]},
+                    layout_boxes=boxes,
+                    page_number=pg.page_number,
+                    page_width=float(pg.width),
+                    page_height=float(pg.height),
+                    processing_time_ms=1.0,
+                    processed_image=pg.pixels,
+                )
+            )
+        return DocumentOCRResult(
+            success=True,
+            pages=outs,
+            combined_markdown=combine_markdown([p.markdown for p in outs]),
+            combined_html="<br>".join(p.html for p in outs),
+            total_pages=len(outs),
+            processing_time_ms=1.0,
+        )
+
+    def get_status(self) -> dict:
+        return {"engine": self.name, "available": True}
+
+
+def combine_markdown(pages_md: list[str]) -> str:
+    """Reference _combine_markdown (ocr_service.py:737-746): '## Page N'
+    separators between pages; single page passes through unchanged."""
+    if len(pages_md) <= 1:
+        return pages_md[0] if pages_md else ""
+    return "\n\n".join(f"## Page {i + 1}\n\n{md}" for i, md in enumerate(pages_md))
+
+
+_ENGINE_SINGLETON: dict[str, object] = {}
+
+
+def get_engine(settings: Settings | None = None):
+    """Engine selection + lazy singleton (reference: thread-safe lazy
+    singleton, ocr_service.py:126-160; selection flag config.py:70)."""
+    s = settings or get_settings()
+    key = s.ocr_engine
+    if key not in _ENGINE_SINGLETON:
+        if key == "jax":
+            _ENGINE_SINGLETON[key] = JaxOCREngine(s)
+        elif key == "fake":
+            _ENGINE_SINGLETON[key] = FakeOCREngine(s)
+        else:
+            raise ValueError(f"unknown OCR engine {key!r}")
+    return _ENGINE_SINGLETON[key]

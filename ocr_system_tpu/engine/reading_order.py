@@ -1,0 +1,105 @@
+"""Reading-order postprocessing: detected word boxes -> ordered lines -> text.
+
+Implements the algorithm SURVEY.md §2.1 #17 flags as required for any local
+det+rec stack (reference: backend/utils/ocr_postprocessor.py):
+  - sort blocks by y-center                               (:101-143)
+  - group into lines by y-overlap within 0.5 * avg height (:118-127)
+  - sort within each line by x, merge text, average conf  (:146-182)
+
+The reference parses RapidOCR tuples; here the input is the framework's own
+(quad, text, confidence) triples from the rec stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TextBlock:
+    """One recognized region (reference TextBlock, ocr_postprocessor.py:20-39)."""
+
+    quad: np.ndarray  # (4, 2) float32
+    text: str
+    confidence: float
+
+    @property
+    def y_center(self) -> float:
+        return float(self.quad[:, 1].mean())
+
+    @property
+    def x_min(self) -> float:
+        return float(self.quad[:, 0].min())
+
+    @property
+    def height(self) -> float:
+        return float(self.quad[:, 1].max() - self.quad[:, 1].min())
+
+
+@dataclasses.dataclass
+class MergedLine:
+    """One reading-order line (reference MergedLine, ocr_postprocessor.py:42-48)."""
+
+    text: str
+    confidence: float
+    blocks: list[TextBlock]
+
+    @property
+    def quad(self) -> np.ndarray:
+        pts = np.concatenate([b.quad for b in self.blocks], axis=0)
+        x0, y0 = pts[:, 0].min(), pts[:, 1].min()
+        x1, y1 = pts[:, 0].max(), pts[:, 1].max()
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float32)
+
+
+def group_into_lines(
+    blocks: list[TextBlock], tolerance_ratio: float = 0.5
+) -> list[list[TextBlock]]:
+    """Group by y-center proximity: a block joins the current line when its
+    y-center is within tolerance = tolerance_ratio * avg_height of the line's
+    running y-center (reference ocr_postprocessor.py:101-143)."""
+    if not blocks:
+        return []
+    avg_h = float(np.mean([b.height for b in blocks])) or 1.0
+    tol = tolerance_ratio * avg_h
+    ordered = sorted(blocks, key=lambda b: b.y_center)
+    lines: list[list[TextBlock]] = [[ordered[0]]]
+    line_y = ordered[0].y_center
+    for b in ordered[1:]:
+        if abs(b.y_center - line_y) <= tol:
+            lines[-1].append(b)
+            # running mean keeps slanted lines together
+            line_y = float(np.mean([x.y_center for x in lines[-1]]))
+        else:
+            lines.append([b])
+            line_y = b.y_center
+    return lines
+
+
+def sort_and_merge_lines(lines: list[list[TextBlock]]) -> list[MergedLine]:
+    """Within each line sort by x and merge text with confidence averaging
+    (reference ocr_postprocessor.py:146-182)."""
+    merged = []
+    for line in lines:
+        line = sorted(line, key=lambda b: b.x_min)
+        text = " ".join(b.text for b in line if b.text)
+        conf = float(np.mean([b.confidence for b in line])) if line else 0.0
+        merged.append(MergedLine(text=text, confidence=conf, blocks=line))
+    return merged
+
+
+def order_blocks(blocks: list[TextBlock]) -> list[MergedLine]:
+    return sort_and_merge_lines(group_into_lines(blocks))
+
+
+def to_markdown(lines: list[MergedLine]) -> str:
+    """Plain reading-order text (the reference emits Azure's markdown; for the
+    local engine each merged line becomes one markdown line)."""
+    return "\n".join(line.text for line in lines if line.text)
+
+
+def extract_text_ordered(blocks: list[TextBlock]) -> str:
+    """Reference extract_text_ordered (ocr_postprocessor.py:233-243)."""
+    return to_markdown(order_blocks(blocks))

@@ -1,0 +1,215 @@
+"""Detection postprocessing: probability map -> text-region quads.
+
+This is the host/device seam the SURVEY calls out (§7.3 "Host/device split
+for postprocessing"): the DBNet head produces a (H, W) shrink-probability map
+on device; turning that bitmap into polygons is connected-components +
+min-area-rect + unclip — control-flow heavy, tiny data (one byte map per
+page), so it runs on host over the framework's native C++ op
+(native/cc_label.cpp) with a scipy/numpy fallback.
+
+Algorithm follows "Real-time Scene Text Detection with Differentiable
+Binarization" (Liao et al., PAPERS.md): binarize at `bin_thresh`, label
+components, take each component's min-area rectangle, score it by the mean
+probability inside, dilate ("unclip") by area/perimeter * unclip_ratio to
+undo the label shrink, rescale to original page coordinates.
+
+All functions here are pure numpy on host — they are NOT in the jit path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DetectedBox:
+    quad: np.ndarray  # (4, 2) float32, tl/tr/br/bl in page pixel coords
+    score: float
+
+    def flat_polygon(self) -> list[float]:
+        """Azure-compatible flat [x0,y0,...,x3,y3] (azure_debug_output.json)."""
+        return [float(v) for v in self.quad.reshape(-1)]
+
+
+def _label_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
+    """Connected-components labeling. Prefers the framework's C++ op, falls
+    back to scipy.ndimage.label."""
+    try:
+        from ocr_system_tpu.native import cc_label
+
+        return cc_label.label(binary)
+    except Exception:
+        from scipy import ndimage
+
+        lab, n = ndimage.label(binary, structure=np.ones((3, 3), dtype=np.int32))
+        return lab.astype(np.int32), int(n)
+
+
+def _convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain. points: (N, 2) -> hull (M, 2) CCW."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(iterable):
+        out: list[np.ndarray] = []
+        for p in iterable:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Rotating-calipers minimum-area rectangle.
+
+    Returns (quad (4,2) ordered tl,tr,br,bl relative to the text direction,
+    width, height) where width >= height (text reads along width).
+    """
+    hull = _convex_hull(points.astype(np.float64))
+    if len(hull) == 1:
+        p = hull[0]
+        q = np.array([p, p, p, p], dtype=np.float32)
+        return q, 0.0, 0.0
+    if len(hull) == 2:
+        p0, p1 = hull
+        quad = np.array([p0, p1, p1, p0], dtype=np.float32)
+        return quad, float(np.linalg.norm(p1 - p0)), 0.0
+
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+    best = None
+    for a in angles:
+        rot = np.array([[np.cos(a), np.sin(a)], [-np.sin(a), np.cos(a)]])
+        proj = hull @ rot.T
+        mn, mx = proj.min(axis=0), proj.max(axis=0)
+        area = float(np.prod(mx - mn))
+        if best is None or area < best[0]:
+            best = (area, a, mn, mx)
+    assert best is not None
+    _, a, mn, mx = best
+    rot = np.array([[np.cos(a), np.sin(a)], [-np.sin(a), np.cos(a)]])
+    corners_local = np.array(
+        [[mn[0], mn[1]], [mx[0], mn[1]], [mx[0], mx[1]], [mn[0], mx[1]]]
+    )
+    corners = corners_local @ rot  # inverse rotation = transpose applied right
+    w = float(mx[0] - mn[0])
+    h = float(mx[1] - mn[1])
+    quad = _order_quad(corners.astype(np.float32))
+    if h > w:
+        w, h = h, w
+    return quad, w, h
+
+
+def _order_quad(quad: np.ndarray) -> np.ndarray:
+    """Order 4 points tl, tr, br, bl (y-down image coords)."""
+    s = quad.sum(axis=1)
+    d = quad[:, 0] - quad[:, 1]
+    tl = quad[np.argmin(s)]
+    br = quad[np.argmax(s)]
+    tr = quad[np.argmax(d)]
+    bl = quad[np.argmin(d)]
+    return np.array([tl, tr, br, bl], dtype=np.float32)
+
+
+def unclip_quad(quad: np.ndarray, ratio: float = 1.6) -> np.ndarray:
+    """Expand a quad outward by DB's unclip rule: offset each edge by
+    d = area * ratio / perimeter (a uniform polygon offset; for convex quads
+    pushing each vertex along the sum of its two edge normals by d is exact
+    enough and avoids a Vatti clipper dependency)."""
+    x, y = quad[:, 0], quad[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    edges = np.roll(quad, -1, axis=0) - quad
+    lens = np.linalg.norm(edges, axis=1)
+    perimeter = float(lens.sum())
+    if perimeter <= 1e-6:
+        return quad
+    d = area * ratio / perimeter
+    # outward normals: orientation-aware (tl,tr,br,bl is clockwise in y-down
+    # screen coords, i.e. negative signed area -> flip the left-normal)
+    signed_area = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    flip = 1.0 if signed_area > 0 else -1.0
+    normals = flip * np.stack([edges[:, 1], -edges[:, 0]], axis=1)
+    normals /= np.maximum(lens[:, None], 1e-6)
+    vert_off = normals + np.roll(normals, 1, axis=0)
+    norms = np.linalg.norm(vert_off, axis=1, keepdims=True)
+    vert_off = vert_off / np.maximum(norms, 1e-6)
+    # scale so the edge moves by exactly d
+    cos_half = np.clip(np.abs(np.sum(vert_off * normals, axis=1)), 0.3, 1.0)
+    out = quad + vert_off * (d / cos_half)[:, None]
+    return _order_quad(out.astype(np.float32))
+
+
+def boxes_from_prob_map(
+    prob_map: np.ndarray,
+    bin_thresh: float = 0.3,
+    box_thresh: float = 0.6,
+    unclip_ratio: float = 1.6,
+    min_size: float = 3.0,
+    max_boxes: int = 1024,
+    scale_xy: tuple[float, float] = (1.0, 1.0),
+    clip_wh: tuple[float, float] | None = None,
+) -> list[DetectedBox]:
+    """prob_map (H, W) float in [0,1] -> ranked quads in page coordinates.
+
+    scale_xy maps model-input coords back to original page pixels (undoes the
+    letterbox scale); clip_wh clips quads to the original page size.
+    """
+    binary = (prob_map > bin_thresh).astype(np.uint8)
+    labels, n = _label_components(binary)
+    boxes: list[DetectedBox] = []
+    if n == 0:
+        return boxes
+    # bincount-based mean score per component (vectorized over all labels)
+    flat = labels.reshape(-1)
+    probs = prob_map.reshape(-1)
+    counts = np.bincount(flat, minlength=n + 1).astype(np.float64)
+    sums = np.bincount(flat, weights=probs, minlength=n + 1)
+    mean_scores = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+
+    ys, xs = np.nonzero(binary)
+    comp_of = labels[ys, xs]
+    order = np.argsort(comp_of, kind="stable")
+    ys, xs, comp_of = ys[order], xs[order], comp_of[order]
+    starts = np.searchsorted(comp_of, np.arange(1, n + 1))
+    ends = np.append(starts[1:], len(comp_of))
+
+    sx, sy = scale_xy
+    for comp in range(1, n + 1):
+        score = float(mean_scores[comp])
+        if score < box_thresh:
+            continue
+        s, e = starts[comp - 1], ends[comp - 1]
+        if e <= s:
+            continue
+        pts = np.stack([xs[s:e], ys[s:e]], axis=1)
+        quad, w, h = min_area_rect(pts)
+        if min(w, h) < min_size and max(w, h) < min_size * 3:
+            continue
+        quad = unclip_quad(quad, unclip_ratio)
+        quad[:, 0] *= sx
+        quad[:, 1] *= sy
+        if clip_wh is not None:
+            quad[:, 0] = np.clip(quad[:, 0], 0, clip_wh[0] - 1)
+            quad[:, 1] = np.clip(quad[:, 1], 0, clip_wh[1] - 1)
+        boxes.append(DetectedBox(quad=quad, score=score))
+
+    boxes.sort(key=lambda b: -b.score)
+    return boxes[:max_boxes]
+
+
+def quad_to_aabb(quad: np.ndarray) -> tuple[float, float, float, float]:
+    """(4,2) quad -> (x0, y0, x1, y1) axis-aligned bounds."""
+    return (
+        float(quad[:, 0].min()),
+        float(quad[:, 1].min()),
+        float(quad[:, 0].max()),
+        float(quad[:, 1].max()),
+    )

@@ -1,0 +1,92 @@
+"""Engine-level tests: contract shape, fake engine, tiny jax engine e2e."""
+
+import numpy as np
+import pytest
+
+from ocr_system_tpu.engine.pipeline import (
+    FakeOCREngine,
+    JaxOCREngine,
+    combine_markdown,
+)
+from ocr_system_tpu.engine.preprocess import (
+    PageImage,
+    compress_to_limit,
+    decode_image,
+    encode_jpeg,
+    load_document,
+    pick_bucket,
+)
+
+
+class TestPreprocessHost:
+    def test_decode_roundtrip(self, form_image):
+        data = encode_jpeg(form_image, quality=95)
+        out = decode_image(data)
+        assert out.shape == form_image.shape
+
+    def test_compress_to_limit(self, form_image):
+        data = compress_to_limit(form_image, max_bytes=50_000)
+        assert len(data) <= 50_000
+
+    def test_load_document_image(self, form_png):
+        pages = load_document(form_png, "form.png")
+        assert len(pages) == 1
+        assert pages[0].page_number == 1
+        assert pages[0].pixels.shape == (400, 600, 3)
+
+    def test_load_document_bad_data(self):
+        with pytest.raises(Exception):
+            load_document(b"not an image", "x.png")
+
+    def test_pick_bucket(self):
+        assert pick_bucket(500, (640, 960)) == 640
+        assert pick_bucket(700, (640, 960)) == 960
+        assert pick_bucket(2000, (640, 960)) == 960
+
+
+def test_combine_markdown_single_page_passthrough():
+    assert combine_markdown(["hello"]) == "hello"
+
+
+def test_combine_markdown_multi_page_separators():
+    out = combine_markdown(["a", "b"])
+    assert "## Page 1" in out and "## Page 2" in out
+
+
+class TestFakeEngine:
+    def test_contract_shape(self, settings, form_png):
+        eng = FakeOCREngine(settings, text="NAME John")
+        res = eng.process_document(form_png, "form.png")
+        assert res.success
+        assert res.total_pages == 1
+        assert res.combined_markdown == "NAME John"
+        boxes = res.combined_layout_boxes
+        assert all(
+            set(b) == {"type", "content", "confidence", "polygon", "page_number"}
+            for b in boxes
+        )
+        assert all(len(b["polygon"]) == 8 for b in boxes)
+
+    def test_decode_failure_is_structured(self, settings):
+        res = FakeOCREngine(settings).process_document(b"garbage", "x.png")
+        assert not res.success
+        assert res.error
+
+
+@pytest.mark.slow
+class TestJaxEngineE2E:
+    def test_detects_synthetic_text_bars(self, settings, form_image):
+        eng = JaxOCREngine(settings)
+        out = eng.process_page(PageImage(form_image, 1))
+        assert out.success
+        assert out.page_width == 600
+        # untrained det finds *something* or nothing — the contract holds
+        for b in out.layout_boxes:
+            assert len(b["polygon"]) == 8
+            poly = np.array(b["polygon"]).reshape(4, 2)
+            assert (poly[:, 0] <= 600).all() and (poly[:, 1] <= 400).all()
+
+    def test_status(self, settings):
+        eng = JaxOCREngine(settings)
+        st = eng.get_status()
+        assert st["available"] and st["engine"] == "jax"

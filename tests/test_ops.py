@@ -1,0 +1,205 @@
+"""Unit tests for the compute ops (sampling, image pipeline, CTC, boxes)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocr_system_tpu.ops import boxes, ctc, image_ops, sampling
+
+
+class TestSampling:
+    def test_rotate_identity(self):
+        img = np.random.default_rng(0).random((32, 32)).astype(np.float32)
+        out = sampling.rotate(jnp.array(img), 0.0)
+        np.testing.assert_allclose(np.asarray(out), img, atol=1e-5)
+
+    def test_rotate_roundtrip(self):
+        img = np.zeros((64, 64), np.float32)
+        img[20:24, 10:50] = 1.0
+        r = sampling.rotate(jnp.array(img), 10.0)
+        rr = sampling.rotate(r, -10.0)
+        assert float(jnp.abs(rr - img).mean()) < 0.02
+
+    def test_crop_quads_axis_aligned(self):
+        img = np.zeros((40, 40), np.float32)
+        img[10:20, 5:25] = 1.0
+        quad = jnp.array([[[5.0, 10.0], [24.0, 10.0], [24.0, 19.0], [5.0, 19.0]]])
+        crops = sampling.crop_quads(jnp.array(img), quad, (10, 20))
+        assert crops.shape == (1, 10, 20)
+        assert float(crops.mean()) > 0.9  # crop covers the bright region
+
+    def test_crop_quads_rotated(self):
+        # bright band along a rotated rectangle should rectify to mostly-bright
+        img = np.zeros((64, 64), np.float32)
+        img[28:36, 8:56] = 1.0
+        rot = sampling.rotate(jnp.array(img), 20.0)
+        # where did the band corners land? rotate() samples input at M @ out,
+        # so input point p appears at out = M^-1 @ p.
+        m = np.asarray(sampling.rotation_matrix(jnp.float32(20.0), (31.5, 31.5)))
+        m_full = np.vstack([m, [0, 0, 1]])
+        inv = np.linalg.inv(m_full)
+        pts = np.array([[8, 28, 1], [55, 28, 1], [55, 35, 1], [8, 35, 1]], np.float32)
+        quad = (pts @ inv.T)[:, :2].astype(np.float32)
+        crops = sampling.crop_quads(rot, jnp.array(quad[None]), (8, 48))
+        assert float(crops.mean()) > 0.7
+
+
+class TestImageOps:
+    def test_letterbox_shape_and_scale(self):
+        img = jnp.ones((100, 200))
+        canvas, scale = image_ops.letterbox(img, (64, 64))
+        assert canvas.shape == (64, 64)
+        assert scale == pytest.approx(64 / 200)
+
+    def test_deskew_recovers_synthetic_skew(self):
+        page = np.ones((256, 256), np.float32)
+        for y in range(30, 220, 20):
+            page[y : y + 4, 20:230] = 0.0
+        skewed = sampling.rotate(jnp.array(page), 5.0, fill_value=1.0)
+        angle = image_ops.estimate_skew_angle(skewed)
+        assert abs(float(angle) + 5.0) < 1.0
+
+    def test_deskew_skips_small_angles(self):
+        # reference behavior: < 0.5 deg -> no rotation applied
+        page = np.ones((256, 256), np.float32)
+        for y in range(30, 220, 20):
+            page[y : y + 4, 20:230] = 0.0
+        _, applied = image_ops.deskew(jnp.array(page))
+        assert float(applied) == 0.0
+
+    def test_adaptive_binarize_binary_output(self):
+        img = np.random.default_rng(1).random((64, 64)).astype(np.float32)
+        out = np.asarray(image_ops.adaptive_binarize(jnp.array(img)))
+        assert set(np.unique(out)).issubset({0.0, 1.0})
+
+    def test_contrast_enhancement_range(self):
+        img = jnp.full((16, 16), 0.5) + jnp.linspace(-0.2, 0.2, 16)[None, :]
+        out = image_ops.enhance_contrast(img, 1.2)
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+        # spread must increase
+        assert float(out.std()) > float(img.std())
+
+    def test_median_denoise_removes_salt(self):
+        img = np.full((32, 32), 0.8, np.float32)
+        img[10, 10] = 0.0
+        out = np.asarray(image_ops.median_denoise3(jnp.array(img)))
+        assert out[10, 10] == pytest.approx(0.8)
+
+
+class TestCTC:
+    def test_greedy_decode_dedup_and_blank(self):
+        # sequence 1,1,blank,2,2,3 -> [1,2,3]
+        logits = np.full((1, 6, 5), -5.0, np.float32)
+        for t, s in enumerate([1, 1, 0, 2, 2, 3]):
+            logits[0, t, s] = 5.0
+        ids, conf, n = ctc.ctc_greedy_decode(jnp.array(logits))
+        assert ids[0, :3].tolist() == [1, 2, 3]
+        assert int(n[0]) == 3
+        assert ids[0, 3] == ctc.PAD_ID
+        assert float(conf[0]) > 0.99
+
+    def test_repeated_symbol_across_blank_kept(self):
+        # 1,blank,1 -> [1,1]
+        logits = np.full((1, 3, 4), -5.0, np.float32)
+        for t, s in enumerate([1, 0, 1]):
+            logits[0, t, s] = 5.0
+        ids, _, n = ctc.ctc_greedy_decode(jnp.array(logits))
+        assert ids[0, :2].tolist() == [1, 1]
+        assert int(n[0]) == 2
+
+    def test_lengths_mask(self):
+        logits = np.full((1, 4, 4), -5.0, np.float32)
+        for t, s in enumerate([1, 2, 3, 3]):
+            logits[0, t, s] = 5.0
+        ids, _, n = ctc.ctc_greedy_decode(jnp.array(logits), jnp.array([2]))
+        assert int(n[0]) == 2
+        assert ids[0, :2].tolist() == [1, 2]
+
+    def test_all_blank(self):
+        logits = np.full((1, 4, 4), -5.0, np.float32)
+        logits[:, :, 0] = 5.0
+        ids, conf, n = ctc.ctc_greedy_decode(jnp.array(logits))
+        assert int(n[0]) == 0
+        assert float(conf[0]) == 0.0
+
+    def test_ctc_loss_decreases_for_correct_logits(self):
+        labels = jnp.array([[1, 2, 3]])
+        good = np.full((1, 6, 5), -3.0, np.float32)
+        for t, s in enumerate([1, 0, 2, 0, 3, 0]):
+            good[0, t, s] = 3.0
+        bad = np.full((1, 6, 5), 0.0, np.float32)
+        l_good = ctc.ctc_loss(jnp.array(good), jnp.array([6]), labels, jnp.array([3]))
+        l_bad = ctc.ctc_loss(jnp.array(bad), jnp.array([6]), labels, jnp.array([3]))
+        assert float(l_good) < float(l_bad)
+
+
+class TestBoxes:
+    def test_min_area_rect_axis_aligned(self):
+        pts = np.array([[0, 0], [10, 0], [10, 4], [0, 4], [5, 2]])
+        quad, w, h = boxes.min_area_rect(pts)
+        assert w == pytest.approx(10, abs=0.1)
+        assert h == pytest.approx(4, abs=0.1)
+
+    def test_min_area_rect_rotated(self):
+        theta = np.deg2rad(30)
+        rot = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+        base = np.array([[x, y] for x in range(0, 20) for y in range(0, 5)], float)
+        pts = base @ rot.T + 50
+        _, w, h = boxes.min_area_rect(pts)
+        assert w == pytest.approx(19, abs=1.0)
+        assert h == pytest.approx(4, abs=1.0)
+
+    def test_unclip_expands(self):
+        quad = np.array([[10, 10], [60, 10], [60, 20], [10, 20]], np.float32)
+        out = boxes.unclip_quad(quad, 1.6)
+        assert out[:, 0].min() < 10 and out[:, 0].max() > 60
+        assert out[:, 1].min() < 10 and out[:, 1].max() > 20
+
+    def test_boxes_from_prob_map(self):
+        pm = np.zeros((100, 100), np.float32)
+        pm[10:20, 10:60] = 0.95
+        pm[40:50, 30:80] = 0.9
+        found = boxes.boxes_from_prob_map(pm)
+        assert len(found) == 2
+        assert all(b.score > 0.6 for b in found)
+
+    def test_box_thresh_filters(self):
+        pm = np.zeros((50, 50), np.float32)
+        pm[10:20, 10:40] = 0.4  # above bin_thresh, below box_thresh
+        assert boxes.boxes_from_prob_map(pm, box_thresh=0.6) == []
+
+    def test_scale_and_clip(self):
+        pm = np.zeros((50, 50), np.float32)
+        pm[40:50, 40:50] = 0.95
+        found = boxes.boxes_from_prob_map(pm, scale_xy=(2.0, 2.0), clip_wh=(90, 90))
+        assert len(found) == 1
+        assert found[0].quad[:, 0].max() <= 89
+        assert found[0].quad[:, 1].max() <= 89
+
+
+class TestNative:
+    def test_native_label_matches_scipy(self):
+        from scipy import ndimage
+
+        from ocr_system_tpu.native import cc_label
+
+        rng = np.random.default_rng(42)
+        img = (rng.random((64, 64)) > 0.7).astype(np.uint8)
+        ours, n_ours = cc_label.label(img)
+        _, n_scipy = ndimage.label(img, structure=np.ones((3, 3), int))
+        assert n_ours == n_scipy
+        # same pixels labeled
+        assert ((ours > 0) == (img > 0)).all()
+
+    def test_native_stats(self):
+        from ocr_system_tpu.native import cc_label
+
+        img = np.zeros((20, 20), np.uint8)
+        img[2:6, 3:9] = 1
+        prob = img.astype(np.float32) * 0.5
+        lab, n = cc_label.label(img)
+        counts, sums, bb = cc_label.stats(lab, prob, n)
+        assert n == 1
+        assert counts[1] == 24
+        assert sums[1] == pytest.approx(12.0)
+        assert bb[1].tolist() == [3, 2, 8, 5]
