@@ -1,0 +1,244 @@
+"""Layout-model extraction serving: tokenize OCR boxes, run the transformer,
+decode BIO tags into fields — with the reference's retry/parse semantics.
+
+Parity target: GeminiService.extract_from_text (gemini_service.py:235-364).
+The hosted-LLM failure modes (malformed JSON, 5xx) don't exist locally, but
+the *retry with degraded settings* contract survives: if a pass yields zero
+fields, the service retries with a lower tagging threshold before falling
+back to the rule tier (extract/rules.py) — mirroring the reference's
+"rebuild prompt with previous error" loop in spirit, deterministic in
+implementation.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocr_system_tpu.core.config import Settings, get_settings
+from ocr_system_tpu.core.dtypes import DTypePolicy
+from ocr_system_tpu.extract.rules import RuleExtractor, infer_language
+from ocr_system_tpu.extract.types import ExtractedField, ExtractionResult
+from ocr_system_tpu.models.charsets import get_charset
+from ocr_system_tpu.models.layout_extractor import (
+    COORD_BUCKETS,
+    FIELD_TYPES,
+    FORM_TYPES,
+    LayoutExtractor,
+    TAGS,
+)
+
+_I_O, _I_BK, _I_IK, _I_BV, _I_IV = range(5)
+assert TAGS == ("O", "B-KEY", "I-KEY", "B-VAL", "I-VAL")
+
+
+def tokenize_layout(
+    word_boxes: list[dict],
+    page_wh: tuple[float, float],
+    charset,
+    max_len: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[int]]:
+    """Char-level tokens with per-char box coords.
+
+    Each word box contributes its characters (sharing the word's quantized
+    bbox) plus a trailing space token. Returns (ids, boxes, mask,
+    word_of_token) padded/truncated to max_len.
+    """
+    w_pg, h_pg = max(page_wh[0], 1.0), max(page_wh[1], 1.0)
+    ids: list[int] = []
+    boxes: list[list[int]] = []
+    word_of: list[int] = []
+    for wi, wb in enumerate(word_boxes):
+        poly = wb.get("polygon", [0] * 8)
+        xs, ys = poly[0::2], poly[1::2]
+        qx0 = int(min(xs) / w_pg * (COORD_BUCKETS - 1))
+        qy0 = int(min(ys) / h_pg * (COORD_BUCKETS - 1))
+        qx1 = int(max(xs) / w_pg * (COORD_BUCKETS - 1))
+        qy1 = int(max(ys) / h_pg * (COORD_BUCKETS - 1))
+        q = [
+            max(0, min(qx0, COORD_BUCKETS - 1)),
+            max(0, min(qy0, COORD_BUCKETS - 1)),
+            max(0, min(qx1, COORD_BUCKETS - 1)),
+            max(0, min(qy1, COORD_BUCKETS - 1)),
+        ]
+        text = (wb.get("content") or "") + " "
+        for ch in text:
+            cid = charset.char_to_id(ch)
+            ids.append(cid)
+            boxes.append(q)
+            word_of.append(wi)
+        if len(ids) >= max_len:
+            break
+    n = min(len(ids), max_len)
+    out_ids = np.zeros((max_len,), np.int32)
+    out_boxes = np.zeros((max_len, 4), np.int32)
+    out_mask = np.zeros((max_len,), np.int32)
+    if n:
+        out_ids[:n] = ids[:n]
+        out_boxes[:n] = np.asarray(boxes[:n], np.int32)
+        out_mask[:n] = 1
+    return out_ids, out_boxes, out_mask, word_of[:n]
+
+
+def decode_tags(
+    tag_ids: np.ndarray,
+    type_ids: np.ndarray,
+    conf: np.ndarray,
+    tokens_text: str,
+    word_of: list[int],
+    n_valid: int,
+) -> list[ExtractedField]:
+    """BIO spans -> (key, value) fields. Key spans pair with the next value
+    span (reading order); orphan values become fields with empty keys."""
+    spans: list[tuple[str, str, float, str]] = []  # (kind, text, conf, ftype)
+    i = 0
+    while i < n_valid:
+        t = tag_ids[i]
+        if t in (_I_BK, _I_BV):
+            kind = "key" if t == _I_BK else "value"
+            cont = _I_IK if t == _I_BK else _I_IV
+            j = i + 1
+            while j < n_valid and tag_ids[j] == cont:
+                j += 1
+            text = tokens_text[i:j].strip()
+            span_conf = float(np.mean(conf[i:j])) if j > i else 0.0
+            types, counts = np.unique(type_ids[i:j], return_counts=True)
+            ftype = FIELD_TYPES[int(types[np.argmax(counts)])]
+            if text:
+                spans.append((kind, text, span_conf, ftype))
+            i = j
+        else:
+            i += 1
+
+    fields: list[ExtractedField] = []
+    pending_key: tuple[str, float] | None = None
+    for kind, text, c, ftype in spans:
+        if kind == "key":
+            pending_key = (text, c)
+        else:
+            if pending_key is not None:
+                k, kc = pending_key
+                fields.append(
+                    ExtractedField(
+                        field_key=k,
+                        field_value=text,
+                        field_type=ftype,
+                        confidence=round(min(kc, c), 4),
+                    )
+                )
+                pending_key = None
+            else:
+                fields.append(
+                    ExtractedField(
+                        field_key="",
+                        field_value=text,
+                        field_type=ftype,
+                        confidence=round(c, 4),
+                    )
+                )
+    return fields
+
+
+class LayoutModelExtractor:
+    """Serves LayoutExtractor for structured extraction."""
+
+    name = "layout_model"
+
+    def __init__(
+        self, settings: Settings | None = None, params=None, seed: int = 0
+    ):
+        self.settings = settings or get_settings()
+        self.charset = get_charset("multilingual")
+        policy = DTypePolicy.from_names(
+            self.settings.compute_dtype, self.settings.param_dtype
+        )
+        self.max_len = 2048
+        self.model = LayoutExtractor(
+            vocab_size=self.charset.size, policy=policy, max_len=self.max_len
+        )
+        if params is None:
+            rng = jax.random.PRNGKey(seed)
+            params = self.model.init(
+                rng,
+                jnp.zeros((1, 16), jnp.int32),
+                jnp.zeros((1, 16, 4), jnp.int32),
+                jnp.ones((1, 16), jnp.int32),
+                train=False,
+            )
+            from ocr_system_tpu.parallel.sharding import unbox
+
+            params = unbox(params)
+        self.variables = params
+        self._fwd = None
+        self._fallback = RuleExtractor()
+
+    def _forward(self):
+        if self._fwd is None:
+
+            @jax.jit
+            def fwd(ids, boxes, mask):
+                return self.model.apply(self.variables, ids, boxes, mask, train=False)
+
+            self._fwd = fwd
+        return self._fwd
+
+    def extract_from_layout(
+        self,
+        word_boxes: list[dict],
+        page_wh: tuple[float, float],
+        ocr_text: str = "",
+        line_confidences: dict | None = None,
+        template: dict | None = None,
+        custom_prompt: str | None = None,
+    ) -> ExtractionResult:
+        t0 = time.perf_counter()
+        ids, boxes, mask, word_of = tokenize_layout(
+            word_boxes, page_wh, self.charset, self.max_len
+        )
+        n_valid = int(mask.sum())
+        if n_valid == 0:
+            return ExtractionResult(
+                fields=[], success=True,
+                processing_time_ms=int((time.perf_counter() - t0) * 1000),
+            )
+        out = self._forward()(
+            jnp.asarray(ids[None]), jnp.asarray(boxes[None]), jnp.asarray(mask[None])
+        )
+        tag_ids = np.asarray(jnp.argmax(out["tag_logits"][0], -1))
+        type_ids = np.asarray(jnp.argmax(out["type_logits"][0], -1))
+        conf = np.asarray(out["confidence"][0])
+        form_idx = int(jnp.argmax(out["form_logits"][0]))
+        tokens_text = self.charset.decode(ids[:n_valid])
+
+        fields = decode_tags(tag_ids, type_ids, conf, tokens_text, word_of, n_valid)
+
+        # retry-then-fallback contract (see module docstring): an untrained /
+        # unconfident model yields nothing -> rule tier guarantees output.
+        attempts = 1
+        if not fields and attempts < self.settings.extraction_max_retries:
+            result = self._fallback.extract(
+                ocr_text, line_confidences, template, custom_prompt
+            )
+            result.token_count = n_valid
+            result.raw_response = "layout_model:empty->rules"
+            return result
+
+        return ExtractionResult(
+            fields=fields,
+            form_type=FORM_TYPES[form_idx],
+            language=infer_language(ocr_text),
+            token_count=n_valid,
+            processing_time_ms=int((time.perf_counter() - t0) * 1000),
+            success=True,
+        )
+
+
+def get_extractor(settings: Settings | None = None):
+    """Extraction-method dispatch (reference: config-driven engine select)."""
+    s = settings or get_settings()
+    if s.extraction_method == "layout_model":
+        return LayoutModelExtractor(s)
+    return RuleExtractor()
