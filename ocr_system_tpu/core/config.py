@@ -65,6 +65,7 @@ class Settings(BaseModel):
     # "jax" = local TPU det+rec stack (the whole point); "fake" = deterministic
     # test engine (the seam the reference demonstrates with 3 engine files).
     ocr_engine: str = "jax"
+    fake_ocr_text: str = "Name: John Smith"  # what the fake engine "reads"
 
     # --- preprocessing toggles (reference: config.py:84-87, 69) ---
     enable_deskew: bool = True

@@ -177,9 +177,9 @@ class FakeOCREngine:
 
     name = "fake"
 
-    def __init__(self, settings: Settings | None = None, text: str = "HELLO WORLD"):
+    def __init__(self, settings: Settings | None = None, text: str | None = None):
         self.settings = settings or get_settings()
-        self.text = text
+        self.text = text if text is not None else self.settings.fake_ocr_text
 
     def process_document(self, data: bytes, filename: str) -> DocumentOCRResult:
         try:
