@@ -129,7 +129,7 @@ def create_app(ctx: ApiContext | None = None) -> App:
         except Exception:
             logger.exception("background extraction failed for %s", document_id)
 
-    # ---- root / health ----
+    # ---- root / health / ui ----
 
     @r.get("/")
     async def root(req: Request, bg: BackgroundTasks) -> Response:
@@ -139,8 +139,33 @@ def create_app(ctx: ApiContext | None = None) -> App:
                 "version": __version__,
                 "status": "running",
                 "docs": "/api/",
+                "ui": "/ui",
             }
         )
+
+    _UI_TYPES = {
+        "html": "text/html", "js": "application/javascript", "css": "text/css",
+        "svg": "image/svg+xml", "png": "image/png", "ico": "image/x-icon",
+    }
+
+    @r.get("/ui")
+    async def ui_index(req: Request, bg: BackgroundTasks) -> Response:
+        from ocr_system_tpu.frontend import STATIC_DIR
+
+        return Response.file(STATIC_DIR / "index.html", "text/html; charset=utf-8")
+
+    @r.get("/ui/{asset}")
+    async def ui_asset(req: Request, bg: BackgroundTasks) -> Response:
+        from ocr_system_tpu.frontend import STATIC_DIR
+
+        name = req.path_params["asset"]
+        if "/" in name or ".." in name or name.startswith("."):
+            raise HTTPError(404, "Not found")
+        path = STATIC_DIR / name
+        if not path.is_file():
+            raise HTTPError(404, "Not found")
+        ext = name.rsplit(".", 1)[-1]
+        return Response.file(path, _UI_TYPES.get(ext, "application/octet-stream"))
 
     @r.get("/health")
     async def health(req: Request, bg: BackgroundTasks) -> Response:

@@ -1,0 +1,54 @@
+"""Model checkpoint save/load (orbax).
+
+The reference's durable state is the Postgres row (SURVEY.md §5.4); the TPU
+rebuild adds model-weight checkpoints: orbax PyTree checkpoints per model
+name under Settings.checkpoint_dir. The engine classes (engine/detector.py,
+engine/recognizer.py, extract/layout_model.py) load from
+Settings.{det,rec,extract}_checkpoint when set.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any
+
+logger = logging.getLogger(__name__)
+
+
+def save_checkpoint(path: str | Path, tree: Any) -> Path:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str | Path, example_tree: Any | None = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    if example_tree is not None:
+        import jax
+
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), example_tree
+        )
+        return ckptr.restore(path, abstract)
+    return ckptr.restore(path)
+
+
+def maybe_load(path: str, example_tree: Any | None = None) -> Any | None:
+    """Load if the path is set and exists; None otherwise (engines fall back
+    to random init, which keeps the framework usable without weights)."""
+    if not path:
+        return None
+    p = Path(path)
+    if not p.exists():
+        logger.warning("checkpoint %s not found; using random init", path)
+        return None
+    return load_checkpoint(p, example_tree)

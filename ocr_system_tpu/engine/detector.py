@@ -2,14 +2,21 @@
 
 The XLA-idiom answer to "variable page sizes" (SURVEY.md §7.3): pages are
 letterboxed into a small set of static square buckets
-(Settings.det_image_buckets); each (bucket, batch) pair compiles exactly once
-and is cached. The jitted function is donated its input and marked with dp
-sharding so a page batch spreads across the mesh.
+(Settings.det_image_buckets) on host (cv2 SIMD — cheap, and it keeps the
+device graph free of per-page shapes); each (bucket, batch) pair compiles
+exactly once.
+
+Dispatch discipline (the perf rule this module is built around): ONE fused
+device call per batch — uint8 canvases up; skew angles + a stride-2
+probability map down. Everything between (normalize, skew estimate,
+enhancement, DBNet) stays in HBM. Deskew *rotation* is host-side cv2 and
+triggers a second pass only for pages that actually need it (reference
+gating: skip <0.5 deg, reject >45 deg, image_preprocessing.py:433-439) —
+in-graph rotation would make every page pay the gather cost under vmap.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -22,16 +29,21 @@ from ocr_system_tpu.models.dbnet import DBNet
 from ocr_system_tpu.ops import image_ops
 from ocr_system_tpu.ops.boxes import DetectedBox, boxes_from_prob_map
 
+PROB_STRIDE = 2  # prob map downsample before host transfer
+MIN_DESKEW_DEG = 0.5
+MAX_DESKEW_DEG = 45.0
+
 
 @dataclass
 class DetResult:
-    boxes: list[DetectedBox]  # quads in ORIGINAL page pixel coords
+    boxes: list[DetectedBox]  # quads in FINAL page pixel coords
     skew_angle: float
-    prob_map: np.ndarray | None = None
+    page: np.ndarray | None = None  # deskewed page (crops/overlay source)
+    prob_map: np.ndarray | None = None  # stride-PROB_STRIDE map (model coords)
 
 
 class Detector:
-    """Owns DBNet params + the per-bucket compiled forward."""
+    """Owns DBNet params + the per-bucket compiled fused forward."""
 
     def __init__(self, settings: Settings | None = None, params=None, seed: int = 0):
         self.settings = settings or get_settings()
@@ -43,63 +55,103 @@ class Detector:
             rng = jax.random.PRNGKey(seed)
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
             params = self.model.init(rng, dummy, train=False)
+            from ocr_system_tpu.core.checkpoint import maybe_load
+
+            loaded = maybe_load(self.settings.det_checkpoint, params)
+            if loaded is not None:
+                params = loaded
         self.variables = params
         self._forward_cache: dict[tuple[int, int], object] = {}
 
     def _forward(self, bucket: int, batch: int):
         key = (bucket, batch)
         if key not in self._forward_cache:
+            s = self.settings
 
-            @functools.partial(jax.jit, donate_argnums=(0,))
+            @jax.jit
             def fwd(images):
-                # images: (B, S, S, 3) float32 [0,1]
-                def one(img):
-                    enhanced, angle = image_ops.preprocess_page(
-                        img,
-                        enable_deskew=self.settings.enable_deskew,
-                        enable_contrast=self.settings.enable_contrast_enhancement,
-                        enable_binarize=self.settings.enable_adaptive_binarization,
-                    )
-                    return image_ops.normalize_for_model(enhanced), angle
+                # images: (B, S, S, 3) uint8 canvases
+                f = images.astype(jnp.float32) / 255.0
 
-                normed, angles = jax.vmap(one)(images)
-                out = self.model.apply(self.variables, normed, train=False)
-                return out["prob"], angles
+                def pre(img):
+                    angle = (
+                        image_ops.estimate_skew_angle(img)
+                        if s.enable_deskew
+                        else jnp.float32(0.0)
+                    )
+                    if s.enable_contrast_enhancement:
+                        img = image_ops.enhance_contrast(img, 1.2)
+                        img = image_ops.enhance_sharpness(img, 1.1)
+                    if s.enable_adaptive_binarization:
+                        img = image_ops.adaptive_binarize(img)
+                    return image_ops.normalize_for_model(img), angle
+
+                normed, angles = jax.vmap(pre)(f)
+                prob = self.model.apply(self.variables, normed, train=False)["prob"]
+                # stride-2 avg pool: 4x smaller host transfer, no box loss
+                # (prob is an upsampling of stride-4 features anyway)
+                prob_ds = jax.lax.reduce_window(
+                    prob,
+                    0.0,
+                    jax.lax.add,
+                    (1, PROB_STRIDE, PROB_STRIDE),
+                    (1, PROB_STRIDE, PROB_STRIDE),
+                    "VALID",
+                ) / (PROB_STRIDE * PROB_STRIDE)
+                return prob_ds, angles
 
             self._forward_cache[key] = fwd
         return self._forward_cache[key]
 
     def detect_batch(self, pages: list[np.ndarray]) -> list[DetResult]:
-        """pages: list of (H, W, 3) uint8 arrays (original sizes).
-        Groups by bucket, runs batched inference, extracts boxes on host."""
+        """pages: list of (H, W, 3) uint8 arrays (original sizes)."""
         s = self.settings
+        pages = list(pages)
         by_bucket: dict[int, list[int]] = {}
-        prepped: dict[int, tuple[np.ndarray, float]] = {}
+        canvases: dict[int, np.ndarray] = {}
+        scales: dict[int, float] = {}
         for i, page in enumerate(pages):
             bucket = _det_bucket(page.shape, s.det_image_buckets)
-            img = jnp.asarray(page, jnp.float32) / 255.0
-            canvas, scale = image_ops.letterbox(img, (bucket, bucket), fill=1.0)
-            prepped[i] = (np.asarray(canvas), scale)
+            canvases[i], scales[i] = _letterbox_host(page, bucket)
             by_bucket.setdefault(bucket, []).append(i)
 
         results: dict[int, DetResult] = {}
         for bucket, idxs in by_bucket.items():
-            batch = np.stack([prepped[i][0] for i in idxs])
+            batch = np.stack([canvases[i] for i in idxs])
             fwd = self._forward(bucket, len(idxs))
             prob, angles = fwd(jnp.asarray(batch))
-            prob = np.asarray(prob, np.float32)
             angles = np.asarray(angles)
+
+            # host-side deskew + single re-pass for pages that need it
+            skewed = [
+                j for j, i in enumerate(idxs)
+                if MIN_DESKEW_DEG <= abs(float(angles[j])) <= MAX_DESKEW_DEG
+            ]
+            applied = np.zeros(len(idxs), np.float32)
+            if skewed:
+                for j in skewed:
+                    i = idxs[j]
+                    pages[i] = _rotate_host(pages[i], float(angles[j]))
+                    canvases[i], scales[i] = _letterbox_host(pages[i], bucket)
+                    applied[j] = float(angles[j])
+                batch = np.stack([canvases[i] for i in idxs])
+                prob, _ = fwd(jnp.asarray(batch))
+
+            prob = np.asarray(prob, np.float32)
             for j, i in enumerate(idxs):
-                scale = prepped[i][1]
+                scale = scales[i]
                 h, w = pages[i].shape[:2]
                 boxes = boxes_from_prob_map(
                     prob[j],
-                    scale_xy=(1.0 / scale, 1.0 / scale),
+                    scale_xy=(PROB_STRIDE / scale, PROB_STRIDE / scale),
                     clip_wh=(w, h),
                     max_boxes=s.max_boxes_per_page,
                 )
                 results[i] = DetResult(
-                    boxes=boxes, skew_angle=float(angles[j]), prob_map=prob[j]
+                    boxes=boxes,
+                    skew_angle=float(applied[j]),
+                    page=pages[i],
+                    prob_map=prob[j],
                 )
         return [results[i] for i in range(len(pages))]
 
@@ -110,3 +162,45 @@ def _det_bucket(shape, buckets: tuple[int, ...]) -> int:
         if longest <= b:
             return b
     return max(buckets)
+
+
+def _letterbox_host(page: np.ndarray, bucket: int) -> tuple[np.ndarray, float]:
+    """Host-side aspect-preserving resize+pad to (bucket, bucket) uint8."""
+    h, w = page.shape[:2]
+    scale = min(bucket / h, bucket / w)
+    nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+    try:
+        import cv2
+
+        resized = cv2.resize(page, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    except ImportError:  # PIL fallback
+        from PIL import Image
+
+        resized = np.asarray(
+            Image.fromarray(page).resize((nw, nh), Image.BILINEAR)
+        )
+    canvas = np.full((bucket, bucket, 3), 255, np.uint8)
+    canvas[:nh, :nw] = resized
+    return canvas, scale
+
+
+def _rotate_host(page: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Deskew rotation about the center, white border fill (reference
+    cv2.getRotationMatrix2D + warpAffine, image_preprocessing.py:444-452)."""
+    h, w = page.shape[:2]
+    try:
+        import cv2
+
+        m = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle_deg, 1.0)
+        return cv2.warpAffine(
+            page, m, (w, h), flags=cv2.INTER_CUBIC,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=(255, 255, 255),
+        )
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(
+            Image.fromarray(page).rotate(
+                angle_deg, resample=Image.BICUBIC, fillcolor=(255, 255, 255)
+            )
+        )

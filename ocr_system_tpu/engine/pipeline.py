@@ -83,9 +83,13 @@ class JaxOCREngine:
         det = self.detector.detect_batch([page.pixels])[0]
         return self._finish_page(page, det, t0)
 
-    def _finish_page(self, page: PageImage, det, t0: float) -> OCROutput:
+    def _finish_page(self, page: PageImage, det, t0: float, recs=None) -> OCROutput:
+        # crops and the overlay image come from the DESKEWED page the boxes
+        # were detected on (det.page), not the raw upload
+        pixels = det.page if det.page is not None else page.pixels
         quads = np.array([b.quad for b in det.boxes], np.float32).reshape(-1, 4, 2)
-        recs = self.recognizer.recognize_page(page.pixels, quads)
+        if recs is None:
+            recs = self.recognizer.recognize_page(pixels, quads)
 
         blocks = []
         word_boxes: list[dict] = []
@@ -126,7 +130,7 @@ class JaxOCREngine:
             page_width=float(page.width),
             page_height=float(page.height),
             processing_time_ms=elapsed,
-            processed_image=page.pixels,
+            processed_image=pixels,
         )
 
     # -- document (the OCRService.process_document contract) --
@@ -151,12 +155,24 @@ class JaxOCREngine:
         )
 
     def process_pages(self, pages: list[PageImage]) -> list[OCROutput]:
-        """Batched path: detection runs on the whole page batch at once
-        (replaces the reference's Semaphore(1) serial page loop,
-        ocr_service.py:620-627)."""
+        """Batched path: detection runs on the whole page batch at once, and
+        recognition batches every page's crops together (replaces the
+        reference's Semaphore(1) serial page loop, ocr_service.py:620-627)."""
         t0 = time.perf_counter()
         dets = self.detector.detect_batch([p.pixels for p in pages])
-        return [self._finish_page(p, d, t0) for p, d in zip(pages, dets)]
+        rec_pages = [
+            d.page if d.page is not None else p.pixels
+            for p, d in zip(pages, dets)
+        ]
+        quads_list = [
+            np.array([b.quad for b in d.boxes], np.float32).reshape(-1, 4, 2)
+            for d in dets
+        ]
+        recs_list = self.recognizer.recognize_pages(rec_pages, quads_list)
+        return [
+            self._finish_page(p, d, t0, recs=r)
+            for p, d, r in zip(pages, dets, recs_list)
+        ]
 
     def get_status(self) -> dict:
         """Reference get_status contract (ocr_service.py:759-800)."""

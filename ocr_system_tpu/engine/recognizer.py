@@ -22,7 +22,12 @@ from ocr_system_tpu.core.dtypes import DTypePolicy
 from ocr_system_tpu.models.charsets import Charset, get_charset
 from ocr_system_tpu.models.recognizer import SVTRRecognizer
 from ocr_system_tpu.ops import ctc
-from ocr_system_tpu.ops.sampling import crop_quads
+from ocr_system_tpu.ops.sampling import (
+    crop_boxes_separable,
+    crop_quads,
+    quads_are_axis_aligned,
+    quads_to_aabbs,
+)
 
 
 @dataclass
@@ -50,38 +55,87 @@ class Recognizer:
             h = self.settings.rec_image_height
             dummy = jnp.zeros((1, h, min(self.settings.rec_width_buckets), 3))
             params = self.model.init(rng, dummy, None, train=False)
+            from ocr_system_tpu.core.checkpoint import maybe_load
+
+            loaded = maybe_load(self.settings.rec_checkpoint, params)
+            if loaded is not None:
+                params = loaded
         self.variables = params
         self._fn_cache: dict[tuple, object] = {}
 
     # ---- compiled stages ----
 
-    def _crop_fn(self, page_hw: tuple[int, int], n: int, width: int):
-        """Compiled: page (H, W, 3) + quads (n, 4, 2) + widths -> crops."""
-        key = ("crop", page_hw, n, width)
+    def _crop_rec_fn(self, page_hw: tuple[int, int], n: int, width: int):
+        """Compiled page (H, W, 3) uint8 + quads -> decoded ids/conf.
+
+        Crop+rectify, recognition forward, and CTC decode fuse into ONE
+        dispatch; the page tensor never leaves HBM between stages and only
+        the small id/conf arrays come back to host.
+        """
+        key = ("croprec", page_hw, n, width)
         if key not in self._fn_cache:
             h = self.settings.rec_image_height
 
             @jax.jit
-            def crop(page, quads):
+            def run(page, quads, widths):
+                page = page.astype(jnp.float32) / 255.0
                 crops = crop_quads(page, quads, (h, width))
-                return crops
-
-            self._fn_cache[key] = crop
-        return self._fn_cache[key]
-
-    def _rec_fn(self, n: int, width: int):
-        key = ("rec", n, width)
-        if key not in self._fn_cache:
-
-            @jax.jit
-            def rec(crops, widths):
                 logits, lengths = self.model.apply(
                     self.variables, crops, widths, train=False
                 )
                 ids, conf, cnt = ctc.ctc_greedy_decode(logits, lengths)
                 return ids, conf, cnt
 
-            self._fn_cache[key] = rec
+            self._fn_cache[key] = run
+        return self._fn_cache[key]
+
+    def _multi_crop_rec_fn(self, page_hw: tuple[int, int], n_pages: int,
+                           crops_per_page: int, width: int):
+        """Compiled (P, H, W, 3) uint8 pages + (P, N, 4, 2) quads -> decoded
+        ids/conf for all P*N crops in ONE dispatch. Quads are padded per page
+        so the crop gather vmaps over static page-major structure (a dynamic
+        page index per crop would force a mega-gather over the whole stack).
+        """
+        key = ("mcroprec", page_hw, n_pages, crops_per_page, width)
+        if key not in self._fn_cache:
+            h = self.settings.rec_image_height
+
+            @jax.jit
+            def run(pages, quads, widths):
+                pages = pages.astype(jnp.float32) / 255.0
+                crops = jax.vmap(
+                    lambda page, qs: crop_quads(page, qs, (h, width))
+                )(pages, quads)  # (P, N, h, width, 3)
+                crops = crops.reshape(-1, h, width, 3)
+                logits, lengths = self.model.apply(
+                    self.variables, crops, widths.reshape(-1), train=False
+                )
+                return ctc.ctc_greedy_decode(logits, lengths)
+
+            self._fn_cache[key] = run
+        return self._fn_cache[key]
+
+    def _multi_aabb_rec_fn(self, page_hw: tuple[int, int], n_pages: int,
+                           crops_per_page: int, width: int):
+        """Axis-aligned fast path: separable crop (ops/sampling.py
+        crop_boxes_separable) instead of the general quad gather."""
+        key = ("maabbrec", page_hw, n_pages, crops_per_page, width)
+        if key not in self._fn_cache:
+            h = self.settings.rec_image_height
+
+            @jax.jit
+            def run(pages, aabbs, widths):
+                pages = pages.astype(jnp.float32) / 255.0
+                crops = jax.vmap(
+                    lambda page, bs: crop_boxes_separable(page, bs, (h, width))
+                )(pages, aabbs)
+                crops = crops.reshape(-1, h, width, 3)
+                logits, lengths = self.model.apply(
+                    self.variables, crops, widths.reshape(-1), train=False
+                )
+                return ctc.ctc_greedy_decode(logits, lengths)
+
+            self._fn_cache[key] = run
         return self._fn_cache[key]
 
     # ---- public API ----
@@ -91,39 +145,89 @@ class Recognizer:
     ) -> list[RecResult]:
         """page: (H, W, 3) uint8; quads: (N, 4, 2) float32 in page coords.
         Returns one RecResult per quad (order preserved)."""
-        if len(quads) == 0:
-            return []
+        return self.recognize_pages([page], [quads])[0]
+
+    def recognize_pages(
+        self, pages: list[np.ndarray], quads_list: list[np.ndarray]
+    ) -> list[list[RecResult]]:
+        """Batched multi-page recognition: pages sharing a shape are stacked
+        and ALL their crops decode in width-bucketed fused dispatches —
+        device round trips scale with #buckets, not #pages x #buckets."""
         s = self.settings
         h_rec = s.rec_image_height
-        page_f = jnp.asarray(page, jnp.float32) / 255.0
-
-        # assign each quad a width bucket from its aspect ratio at h=48
-        widths_px = np.linalg.norm(quads[:, 1] - quads[:, 0], axis=1)
-        heights_px = np.linalg.norm(quads[:, 3] - quads[:, 0], axis=1)
-        aspect = widths_px / np.maximum(heights_px, 1e-3)
-        target_w = np.clip(aspect * h_rec, 16, max(s.rec_width_buckets))
         buckets = sorted(s.rec_width_buckets)
-        bucket_of = np.array([_first_ge(buckets, w) for w in target_w])
+        results: list[list[RecResult | None]] = [
+            [None] * len(q) for q in quads_list
+        ]
 
-        results: dict[int, RecResult] = {}
-        for bucket in sorted(set(bucket_of.tolist())):
-            idxs = np.nonzero(bucket_of == bucket)[0]
-            n_pad = _pad_count(len(idxs), s.rec_batch_size)
-            q = np.zeros((n_pad, 4, 2), np.float32)
-            q[: len(idxs)] = quads[idxs]
-            w_valid = np.full((n_pad,), 1, np.int32)
-            w_valid[: len(idxs)] = np.clip(
-                target_w[idxs].astype(np.int32), 16, bucket
-            )
-            crop = self._crop_fn(page.shape[:2], n_pad, bucket)
-            crops = crop(page_f, jnp.asarray(q))
-            rec = self._rec_fn(n_pad, bucket)
-            ids, conf, _ = rec(crops, jnp.asarray(w_valid))
-            texts = ctc.ids_to_text(ids[: len(idxs)], self.charset)
-            confs = np.asarray(conf)[: len(idxs)]
-            for k, i in enumerate(idxs):
-                results[int(i)] = RecResult(text=texts[k], confidence=float(confs[k]))
-        return [results[i] for i in range(len(quads))]
+        # group page indices by page shape
+        by_shape: dict[tuple[int, int], list[int]] = {}
+        for p_i, page in enumerate(pages):
+            if len(quads_list[p_i]) > 0:
+                by_shape.setdefault(page.shape[:2], []).append(p_i)
+
+        for shape, page_idxs in by_shape.items():
+            n_pages = len(page_idxs)
+            stack = np.zeros((n_pages, *shape, 3), np.uint8)
+            for k, p_i in enumerate(page_idxs):
+                stack[k] = pages[p_i]
+            stack_dev = jnp.asarray(stack)
+
+            # bucket every (page, quad) by target width
+            per_bucket: dict[int, list[list[tuple[int, np.ndarray, float]]]] = {}
+            for k, p_i in enumerate(page_idxs):
+                quads = quads_list[p_i]
+                widths_px = np.linalg.norm(quads[:, 1] - quads[:, 0], axis=1)
+                heights_px = np.linalg.norm(quads[:, 3] - quads[:, 0], axis=1)
+                aspect = widths_px / np.maximum(heights_px, 1e-3)
+                target_w = np.clip(aspect * h_rec, 16, buckets[-1])
+                for q_i in range(len(quads)):
+                    b = _first_ge(buckets, target_w[q_i])
+                    group = per_bucket.setdefault(b, [[] for _ in page_idxs])
+                    group[k].append((q_i, quads[q_i], target_w[q_i]))
+
+            for bucket, groups in per_bucket.items():
+                # pad per-page crop counts to a shared static N (pow2 steps
+                # bound the compile cache like _pad_count does for batches)
+                n_per_page = _pad_count(
+                    max(len(g) for g in groups), s.rec_batch_size
+                )
+                q = np.zeros((n_pages, n_per_page, 4, 2), np.float32)
+                w_valid = np.full((n_pages, n_per_page), 1, np.int32)
+                for k, group in enumerate(groups):
+                    for j, (q_i, quad, tw) in enumerate(group):
+                        q[k, j] = quad
+                        w_valid[k, j] = int(np.clip(tw, 16, bucket))
+                flat_quads = q.reshape(-1, 4, 2)
+                if quads_are_axis_aligned(flat_quads):
+                    aabbs = quads_to_aabbs(flat_quads).reshape(
+                        n_pages, n_per_page, 4
+                    )
+                    run = self._multi_aabb_rec_fn(
+                        shape, n_pages, n_per_page, bucket
+                    )
+                    ids, conf, _ = run(
+                        stack_dev, jnp.asarray(aabbs), jnp.asarray(w_valid)
+                    )
+                else:
+                    run = self._multi_crop_rec_fn(
+                        shape, n_pages, n_per_page, bucket
+                    )
+                    ids, conf, _ = run(
+                        stack_dev, jnp.asarray(q), jnp.asarray(w_valid)
+                    )
+                texts = ctc.ids_to_text(ids, self.charset)
+                confs = np.asarray(conf)
+                for k, group in enumerate(groups):
+                    for j, (q_i, _, _) in enumerate(group):
+                        flat_i = k * n_per_page + j
+                        results[page_idxs[k]][q_i] = RecResult(
+                            text=texts[flat_i], confidence=float(confs[flat_i])
+                        )
+        return [
+            [r if r is not None else RecResult("", 0.0) for r in row]
+            for row in results
+        ]
 
 
 def _first_ge(buckets: list[int], w: float) -> int:

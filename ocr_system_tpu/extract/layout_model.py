@@ -171,6 +171,11 @@ class LayoutModelExtractor:
             from ocr_system_tpu.parallel.sharding import unbox
 
             params = unbox(params)
+            from ocr_system_tpu.core.checkpoint import maybe_load
+
+            loaded = maybe_load(self.settings.extract_checkpoint, params)
+            if loaded is not None:
+                params = loaded
         self.variables = params
         self._fwd = None
         self._fallback = RuleExtractor()

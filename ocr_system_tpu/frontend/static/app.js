@@ -1,0 +1,305 @@
+/* OCR System TPU — single-page frontend.
+ *
+ * Covers the reference Streamlit app's flows (frontend/pages/1_Upload.py,
+ * 2_History.py, 3_Dashboard.py): upload + processing queue poll, review/edit
+ * with bbox overlay, dashboard charts. Vanilla JS against the REST API.
+ */
+
+const api = {
+  async req(method, path, body, isForm) {
+    const opts = { method, headers: {} };
+    if (body && !isForm) {
+      opts.headers["Content-Type"] = "application/json";
+      opts.body = JSON.stringify(body);
+    } else if (body) {
+      opts.body = body;
+    }
+    const resp = await fetch(path, opts);
+    const data = await resp.json().catch(() => ({}));
+    if (!resp.ok) throw new Error(data.detail || resp.statusText);
+    return data;
+  },
+  get: (p) => api.req("GET", p),
+  post: (p, b) => api.req("POST", p, b),
+  patch: (p, b) => api.req("PATCH", p, b),
+};
+
+function toast(msg) {
+  const el = document.getElementById("toast");
+  el.textContent = msg;
+  el.classList.add("show");
+  setTimeout(() => el.classList.remove("show"), 2500);
+}
+
+/* ---------- routing ---------- */
+
+const pages = ["upload", "documents", "dashboard", "review"];
+let pollTimer = null;
+
+function navigate() {
+  const hash = location.hash.slice(1) || "upload";
+  const [page, arg] = hash.split("/");
+  pages.forEach((p) => {
+    document.getElementById(`page-${p}`)?.classList.toggle("visible", p === page);
+  });
+  document.querySelectorAll(".navlink").forEach((a) =>
+    a.classList.toggle("active", a.dataset.page === page)
+  );
+  clearInterval(pollTimer);
+  if (page === "upload") renderQueue(), (pollTimer = setInterval(renderQueue, 2000));
+  if (page === "documents") renderDocuments();
+  if (page === "dashboard") renderDashboard();
+  if (page === "review" && arg) openReview(arg);
+}
+window.addEventListener("hashchange", navigate);
+
+/* ---------- upload ---------- */
+
+const dropzone = document.getElementById("dropzone");
+const fileInput = document.getElementById("file-input");
+
+async function doUpload(file) {
+  const fd = new FormData();
+  fd.append("file", file);
+  fd.append("auto_extract", document.getElementById("auto-extract").checked);
+  document.getElementById("upload-status").textContent = `Uploading ${file.name}…`;
+  try {
+    const doc = await api.req("POST", "/api/documents/upload", fd, true);
+    document.getElementById("upload-status").textContent =
+      `Uploaded ${doc.original_filename} (${doc.file_size_human})`;
+    renderQueue();
+  } catch (e) {
+    document.getElementById("upload-status").textContent = `Upload failed: ${e.message}`;
+  }
+}
+
+fileInput?.addEventListener("change", () => fileInput.files[0] && doUpload(fileInput.files[0]));
+["dragover", "dragleave", "drop"].forEach((ev) =>
+  dropzone?.addEventListener(ev, (e) => {
+    e.preventDefault();
+    dropzone.classList.toggle("drag", ev === "dragover");
+    if (ev === "drop" && e.dataTransfer.files[0]) doUpload(e.dataTransfer.files[0]);
+  })
+);
+
+async function renderQueue() {
+  const data = await api.get("/api/documents?page_size=8").catch(() => null);
+  if (!data) return;
+  document.getElementById("recent-queue").innerHTML = data.items
+    .map((d) => docCard(d))
+    .join("") || "<p class='vmsg'>No documents yet.</p>";
+}
+
+function docCard(d) {
+  return `<div class="doc-card" onclick="location.hash='review/${d.id}'">
+    <span>${d.original_filename} <span class="vmsg">${d.file_size_human}</span></span>
+    <span class="badge ${d.status}">${d.status_display}</span>
+  </div>`;
+}
+
+/* ---------- documents list ---------- */
+
+async function renderDocuments() {
+  const q = document.getElementById("doc-search").value;
+  const data = await api.get(`/api/documents?page_size=50&search=${encodeURIComponent(q)}`)
+    .catch(() => ({ items: [] }));
+  document.getElementById("doc-list").innerHTML =
+    data.items.map(docCard).join("") || "<p class='vmsg'>Nothing found.</p>";
+}
+document.getElementById("doc-search")?.addEventListener("input", renderDocuments);
+
+/* ---------- review ---------- */
+
+const review = { doc: null, ext: null, page: 1, selected: null, edits: {} };
+
+async function openReview(docId) {
+  review.edits = {};
+  review.selected = null;
+  review.page = 1;
+  const doc = await api.get(`/api/documents/${docId}`).catch((e) => (toast(e.message), null));
+  if (!doc) return;
+  review.doc = doc;
+  document.getElementById("review-title").textContent = doc.original_filename;
+  if (doc.status === "processing" || doc.status === "pending") {
+    document.getElementById("review-meta").textContent = "Processing… (auto-refresh)";
+    pollTimer = setInterval(() => openReview(docId), 3000);
+    return;
+  }
+  clearInterval(pollTimer);
+  const current = doc.extractions?.find((e) => e.is_current) || doc.extractions?.[0];
+  if (!current) {
+    document.getElementById("review-meta").textContent = "No extraction yet.";
+    return;
+  }
+  review.ext = await api.get(`/api/extractions/${current.id}`);
+  const e = review.ext;
+  document.getElementById("review-meta").innerHTML =
+    `<span class="badge ${e.status}">${e.status}</span> · ${e.form_type || "Unknown"} · ` +
+    `v${e.version} · ${e.total_fields} fields · ` +
+    `avg conf ${(100 * (e.avg_confidence || 0)).toFixed(0)}%` +
+    (e.is_finalized ? " · 🔒 finalized" : "");
+  ["json", "csv", "excel", "pdf"].forEach((f) => {
+    document.getElementById(`exp-${f}`).href = `/api/exports/extraction/${e.id}/${f}`;
+  });
+  renderViewer();
+  renderFields();
+}
+
+function pageCount() {
+  return Object.keys(review.ext?.page_dimensions || { 1: 1 }).length || 1;
+}
+
+function renderViewer() {
+  const e = review.ext;
+  const img = document.getElementById("page-image");
+  img.src = `/api/documents/${review.doc.id}/processed-image/${review.page}`;
+  document.getElementById("page-indicator").textContent =
+    `page ${review.page} / ${pageCount()}`;
+  img.onload = renderOverlay;
+  renderOverlay();
+}
+
+function renderOverlay() {
+  const e = review.ext;
+  const svg = document.getElementById("overlay");
+  const dims = (e.page_dimensions || {})[String(review.page)] || { width: 1, height: 1 };
+  svg.setAttribute("viewBox", `0 0 ${dims.width} ${dims.height}`);
+  svg.setAttribute("preserveAspectRatio", "none");
+  let polys = [];
+  if (document.getElementById("show-all-boxes").checked) {
+    (e.layout_data || [])
+      .filter((b) => b.page_number === review.page && b.type === "word")
+      .forEach((b) => polys.push(polyEl(b.polygon, "all")));
+  }
+  const f = (e.fields || []).find((x) => x.id === review.selected);
+  if (f) {
+    if (f.key_bbox?.page === review.page) polys.push(polyEl(f.key_bbox.polygon, "key"));
+    if (f.value_bbox?.page === review.page) polys.push(polyEl(f.value_bbox.polygon, "value"));
+  }
+  svg.innerHTML = polys.join("");
+}
+
+function polyEl(flat, cls) {
+  if (!flat || flat.length < 8) return "";
+  const pts = [];
+  for (let i = 0; i < 8; i += 2) pts.push(`${flat[i]},${flat[i + 1]}`);
+  return `<polygon class="${cls}" points="${pts.join(" ")}"/>`;
+}
+
+document.getElementById("page-prev")?.addEventListener("click", () => {
+  review.page = Math.max(1, review.page - 1); renderViewer();
+});
+document.getElementById("page-next")?.addEventListener("click", () => {
+  review.page = Math.min(pageCount(), review.page + 1); renderViewer();
+});
+document.getElementById("show-all-boxes")?.addEventListener("change", renderOverlay);
+
+function renderFields() {
+  const e = review.ext;
+  const host = document.getElementById("fields-list");
+  host.innerHTML = (e.fields || [])
+    .map(
+      (f) => `<div class="field-card ${f.id === review.selected ? "selected" : ""}" data-id="${f.id}">
+      <div class="field-key" onclick="selectField('${f.id}')">
+        <span>${f.confidence_icon} ${f.field_key || "(unnamed)"}</span>
+        <span class="vmsg">${f.confidence_percent}%</span>
+      </div>
+      <textarea data-id="${f.id}" rows="1" ${e.is_finalized ? "disabled" : ""}>${f.field_value ?? ""}</textarea>
+      <div class="vmsg">${f.field_type}${f.validation_message ? " · " + f.validation_message : ""}${f.is_edited ? " · edited" : ""}</div>
+    </div>`
+    )
+    .join("") || "<p class='vmsg'>No fields extracted.</p>";
+  host.querySelectorAll("textarea").forEach((t) =>
+    t.addEventListener("input", () => (review.edits[t.dataset.id] = t.value))
+  );
+  document.getElementById("finalize-btn").disabled = !!e.is_finalized;
+  document.getElementById("save-all").disabled = !!e.is_finalized;
+}
+
+window.selectField = function (id) {
+  review.selected = id;
+  const f = review.ext.fields.find((x) => x.id === id);
+  const target = f?.value_bbox?.page || f?.key_bbox?.page;
+  if (target && target !== review.page) { review.page = target; renderViewer(); }
+  renderOverlay();
+  document.querySelectorAll(".field-card").forEach((c) =>
+    c.classList.toggle("selected", c.dataset.id === id)
+  );
+};
+
+document.getElementById("save-all")?.addEventListener("click", async () => {
+  const ids = Object.keys(review.edits);
+  if (!ids.length) return toast("No edits to save");
+  for (const id of ids) {
+    await api
+      .patch(`/api/extractions/${review.ext.id}/fields/${id}`, { field_value: review.edits[id] })
+      .catch((e) => toast(e.message));
+  }
+  toast(`Saved ${ids.length} field(s)`);
+  openReview(review.doc.id);
+});
+
+document.getElementById("validate-btn")?.addEventListener("click", async () => {
+  const r = await api.post(`/api/extractions/${review.ext.id}/validate`, {}).catch((e) => toast(e.message));
+  if (r) toast(`Valid ${r.valid_fields}/${r.total_fields}, review ${r.needs_review}`);
+  openReview(review.doc.id);
+});
+
+document.getElementById("finalize-btn")?.addEventListener("click", async () => {
+  if (!confirm("Finalize this extraction? It becomes read-only.")) return;
+  await api.post(`/api/extractions/${review.ext.id}/finalize`, { confirm: true })
+    .then(() => (toast("Finalized"), openReview(review.doc.id)))
+    .catch((e) => toast(e.message));
+});
+
+/* ---------- dashboard ---------- */
+
+async function renderDashboard() {
+  const d = await api.get("/api/stats/dashboard").catch(() => null);
+  if (!d) return;
+  const m = document.getElementById("metric-row");
+  m.innerHTML = [
+    ["Documents", d.documents.total],
+    ["Completed extractions", d.extractions.completed],
+    ["Fields extracted", d.fields.total],
+    ["Avg confidence", d.fields.avg_confidence ? (100 * d.fields.avg_confidence).toFixed(1) + "%" : "—"],
+    ["Avg processing", d.processing.avg_total_ms ? d.processing.avg_total_ms.toFixed(0) + " ms" : "—"],
+    ["Edit rate", (100 * d.fields.edit_rate).toFixed(1) + "%"],
+  ]
+    .map(([l, v]) => `<div class="metric"><div class="v">${v}</div><div class="l">${l}</div></div>`)
+    .join("");
+  barChart("chart-status", d.documents.by_status);
+  barChart("chart-forms", d.extractions.by_form_type);
+  const p = await api.get("/api/stats/processing").catch(() => null);
+  if (p) {
+    document.getElementById("steps-table").innerHTML =
+      `<table><tr><th>Step</th><th>Completed</th><th>Failed</th><th>avg ms</th></tr>` +
+      Object.entries(p.steps)
+        .map(
+          ([s, v]) =>
+            `<tr><td>${s}</td><td>${v.completed || 0}</td><td>${v.failed || 0}</td>` +
+            `<td>${v.duration_ms?.avg ? v.duration_ms.avg.toFixed(0) : "—"}</td></tr>`
+        )
+        .join("") + `</table>`;
+  }
+}
+
+function barChart(svgId, data) {
+  const svg = document.getElementById(svgId);
+  const entries = Object.entries(data || {});
+  if (!entries.length) { svg.innerHTML = ""; return; }
+  const W = 400, H = 200, max = Math.max(...entries.map(([, v]) => v));
+  const bw = Math.min(70, (W - 20) / entries.length - 10);
+  svg.setAttribute("viewBox", `0 0 ${W} ${H}`);
+  svg.innerHTML = entries
+    .map(([k, v], i) => {
+      const h = (v / max) * (H - 50);
+      const x = 15 + i * (bw + 12);
+      return `<rect x="${x}" y="${H - 30 - h}" width="${bw}" height="${h}" rx="4" fill="#4f8cff"/>
+        <text x="${x + bw / 2}" y="${H - 34 - h}" text-anchor="middle" fill="#e8ecf4" font-size="12">${v}</text>
+        <text x="${x + bw / 2}" y="${H - 12}" text-anchor="middle" fill="#8b94a7" font-size="11">${k}</text>`;
+    })
+    .join("");
+}
+
+navigate();

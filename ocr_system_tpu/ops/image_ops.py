@@ -99,13 +99,27 @@ def enhance_contrast(img: jnp.ndarray, factor: float = 1.2) -> jnp.ndarray:
 
 def enhance_sharpness(img: jnp.ndarray, factor: float = 1.1) -> jnp.ndarray:
     """PIL ImageEnhance.Sharpness approximation: unsharp-mask blend
-    (reference: image_preprocessing.py:160-185, factor 1.1)."""
-    if img.ndim == 3:
-        blurred = jnp.stack(
-            [gaussian_blur(img[..., c], 1.0, 2) for c in range(img.shape[-1])], -1
-        )
-    else:
+    (reference: image_preprocessing.py:160-185, factor 1.1). RGB blurs as a
+    single separable depthwise conv (one kernel for all channels)."""
+    if img.ndim == 2:
         blurred = gaussian_blur(img, 1.0, 2)
+        return jnp.clip(blurred + (img - blurred) * factor, 0.0, 1.0)
+    c = img.shape[-1]
+    radius = 2
+    k = gaussian_kernel1d(1.0, radius).astype(img.dtype)
+    x = img[None]  # NHWC
+    kh = jnp.tile(k[:, None, None, None], (1, 1, 1, c))  # HWIO depthwise
+    kw = jnp.tile(k[None, :, None, None], (1, 1, 1, c))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn,
+        feature_group_count=c,
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn,
+        feature_group_count=c,
+    )
+    blurred = x[0]
     return jnp.clip(blurred + (img - blurred) * factor, 0.0, 1.0)
 
 
@@ -135,13 +149,6 @@ def adaptive_binarize(
 # ---- deskew ----
 
 
-def _projection_score(rotated_bin: jnp.ndarray) -> jnp.ndarray:
-    """Sharpness of the horizontal projection profile: variance of row sums.
-    Text aligned with the raster maximizes this."""
-    rows = jnp.sum(rotated_bin, axis=1)
-    return jnp.var(rows)
-
-
 @functools.partial(jax.jit, static_argnames=("num_angles", "max_angle", "downsample_to"))
 def estimate_skew_angle(
     img: jnp.ndarray,
@@ -149,19 +156,46 @@ def estimate_skew_angle(
     max_angle: float = 15.0,
     downsample_to: int = 256,
 ) -> jnp.ndarray:
-    """Estimate the text skew angle (degrees) by a batched projection-profile
-    search: rotate a downsampled ink map by each candidate angle (one vmapped
-    gather), score each by row-profile variance, argmax.
+    """Estimate the text skew angle (degrees) via an FFT shear-projection
+    search — zero gathers, pure VPU/MXU work.
 
-    Replaces the reference's Canny->HoughLinesP->median-angle estimator
-    (image_preprocessing.py:398-432) with a VPU-shaped algorithm.
+    Math: for small angles, rotating by theta moves column x's content to
+    rows y - x*tan(theta) (the horizontal shear component doesn't change row
+    membership). So the rotated image's row-profile equals the profile after
+    a per-column vertical circular shift s_x = x*tan(theta). By the DFT shift
+    theorem a shift is a per-frequency phase, and by Parseval the profile's
+    variance is computable in frequency space without inverting:
+
+        F[k, x]   = FFT over rows of the ink map
+        G_a[k]    = sum_x F[k, x] * exp(-2*pi*i * k * x * tan(theta_a) / N)
+        score(a)  = sum_{k != 0} |G_a[k]|^2   (proportional to profile variance)
+
+    This replaces both the reference's Canny->HoughLinesP->median estimator
+    (image_preprocessing.py:398-432) and this module's earlier 31-way
+    rotate-and-score search, whose bilinear gathers dominated the whole
+    detection pipeline on TPU.
     """
     g = img if img.ndim == 2 else to_grayscale(img)
     small = resize_bilinear(g, (downsample_to, downsample_to))
     ink = (small < jnp.mean(small)).astype(jnp.float32)  # dark pixels = text
+    n = downsample_to
+
+    f = jnp.fft.fft(ink, axis=0)  # (k, x)
     angles = jnp.linspace(-max_angle, max_angle, num_angles)
-    scores = jax.vmap(lambda a: _projection_score(rotate(ink, a)))(angles)
-    return angles[jnp.argmax(scores)]
+    tans = jnp.tan(jnp.deg2rad(angles))  # (A,)
+    k = jnp.fft.fftfreq(n) * n  # (N,) signed frequencies
+    x = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0  # centered columns
+    # phase[a, k, x] = exp(-2i pi k * x * tan_a / n)
+    phi = (-2.0 * jnp.pi / n) * (
+        tans[:, None, None] * k[None, :, None] * x[None, None, :]
+    )
+    phase = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+    g_ak = jnp.sum(f[None, :, :] * phase, axis=-1)  # (A, N)
+    power = jnp.abs(g_ak) ** 2
+    score = jnp.sum(power, axis=-1) - power[:, 0]  # drop DC (mean) term
+    # negate: return the CORRECTING rotation (pass directly to rotate()),
+    # matching the reference deskew convention (image_preprocessing.py:444)
+    return -angles[jnp.argmax(score)]
 
 
 def deskew(
@@ -179,7 +213,14 @@ def deskew(
     angle = estimate_skew_angle(img)
     apply = (jnp.abs(angle) >= min_angle) & (jnp.abs(angle) <= max_angle)
     applied = jnp.where(apply, angle, 0.0)
-    out = rotate(img, applied, fill_value=fill_value)
+    # lax.cond so straight pages (the common case) skip the full-resolution
+    # rotation gather entirely — it's the costliest op in preprocessing.
+    out = jax.lax.cond(
+        apply,
+        lambda im: rotate(im, applied, fill_value=fill_value),
+        lambda im: im,
+        img,
+    )
     return out, applied
 
 

@@ -1,0 +1,294 @@
+"""Synthetic training data: rendered text lines and form pages.
+
+The reference trains nothing (all models are Azure/Gemini/Paddle-hosted), but
+the TPU rebuild owns its models, and this zero-egress environment has no
+pretrained checkpoints — so the framework ships a synthetic data engine:
+DejaVu-rendered text lines (fonts baked into the image) with augmentations
+for the recognizer, and composed form pages with known word quads for the
+detector. This is the same strategy PP-OCR uses for its synth pretraining
+corpora (PAPERS.md PP-OCRv3 §data).
+
+Everything returns numpy; batching/sharding happens in training/train.py.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from ocr_system_tpu.models.charsets import Charset
+
+_FONT_DIR = Path("/usr/share/fonts/truetype/dejavu")
+FONTS = [
+    "DejaVuSans.ttf",
+    "DejaVuSans-Bold.ttf",
+    "DejaVuSerif.ttf",
+    "DejaVuSerif-Bold.ttf",
+    "DejaVuSansMono.ttf",
+]
+
+_WORDS = (
+    "invoice total amount name date address phone email city state zip "
+    "order number quantity price tax paid due balance customer vendor "
+    "description item subtotal payment method account reference signature "
+    "john mary smith garcia chen patel acme global services limited inc"
+).split()
+
+
+@dataclass
+class LineSample:
+    image: np.ndarray  # (H, W, 3) float32 [0,1]
+    text: str
+    width: int  # valid pixel width before padding
+
+
+@dataclass
+class PageSample:
+    image: np.ndarray  # (H, W, 3) float32 [0,1]
+    quads: np.ndarray  # (N, 4, 2) word quads
+    texts: list[str]
+    shrink_map: np.ndarray  # (H, W) float32 DB shrink target
+    shrink_mask: np.ndarray  # (H, W) float32
+    thresh_map: np.ndarray  # (H, W) float32 DB border target
+    thresh_mask: np.ndarray  # (H, W) float32
+
+
+class TextRenderer:
+    def __init__(self, charset: Charset, seed: int = 0):
+        self.charset = charset
+        self.rng = random.Random(seed)
+        self._fonts: dict[tuple[str, int], ImageFont.FreeTypeFont] = {}
+
+    def _font(self, name: str, size: int) -> ImageFont.FreeTypeFont:
+        key = (name, size)
+        if key not in self._fonts:
+            self._fonts[key] = ImageFont.truetype(str(_FONT_DIR / name), size)
+        return self._fonts[key]
+
+    def random_text(self, max_words: int = 4) -> str:
+        r = self.rng
+        kind = r.random()
+        if kind < 0.45:
+            n = r.randint(1, max_words)
+            words = [r.choice(_WORDS) for _ in range(n)]
+            if r.random() < 0.3:
+                words = [w.capitalize() for w in words]
+            elif r.random() < 0.15:
+                words = [w.upper() for w in words]
+            return " ".join(words)
+        if kind < 0.65:  # numbers / amounts / dates
+            fmt = r.random()
+            if fmt < 0.33:
+                return f"{r.randint(0, 9999)}.{r.randint(0, 99):02d}"
+            if fmt < 0.55:
+                return f"${r.randint(1, 99999):,}"
+            if fmt < 0.8:
+                return (
+                    f"{r.randint(1, 28):02d}/{r.randint(1, 12):02d}/"
+                    f"{r.randint(1990, 2030)}"
+                )
+            return str(r.randint(10000, 999999999))
+        if kind < 0.8:  # key: value fragments
+            return f"{r.choice(_WORDS).capitalize()}: {r.choice(_WORDS)}"
+        # random char soup over the charset (covers punctuation etc.)
+        alphabet = self.charset.chars.replace(" ", "") or string.ascii_letters
+        n = r.randint(3, 12)
+        return "".join(r.choice(alphabet) for _ in range(n))
+
+    # ---- line crops for the recognizer ----
+
+    def render_line(
+        self, text: str | None = None, height: int = 48, max_width: int = 640,
+        augment: bool = True,
+    ) -> LineSample:
+        r = self.rng
+        if text is None:
+            text = self.random_text()
+        font_size = r.randint(22, 38) if augment else 30
+        font = self._font(r.choice(FONTS), font_size)
+        pad = r.randint(2, 8) if augment else 4
+        # measure
+        tmp = Image.new("L", (4, 4))
+        d = ImageDraw.Draw(tmp)
+        bbox = d.textbbox((0, 0), text, font=font)
+        tw = max(bbox[2] - bbox[0], 1)
+        th = max(bbox[3] - bbox[1], 1)
+        w = tw + 2 * pad
+        h = th + 2 * pad
+        bg = r.randint(200, 255) if augment else 255
+        fg = r.randint(0, 80) if augment else 0
+        img = Image.new("L", (w, h), bg)
+        d = ImageDraw.Draw(img)
+        d.text((pad - bbox[0], pad - bbox[1]), text, fill=fg, font=font)
+        # scale to target height
+        scale = height / h
+        new_w = min(max(int(w * scale), 8), max_width)
+        img = img.resize((new_w, height), Image.BILINEAR)
+        arr = np.asarray(img, np.float32) / 255.0
+        if augment:
+            arr = self._augment(arr)
+        out = np.zeros((height, max_width), np.float32)
+        out[:, :new_w] = arr
+        out3 = np.stack([out] * 3, axis=-1)
+        return LineSample(image=out3, text=text, width=new_w)
+
+    def _augment(self, arr: np.ndarray) -> np.ndarray:
+        r = self.rng
+        if r.random() < 0.5:  # gaussian noise
+            arr = arr + np.random.default_rng(r.randrange(1 << 30)).normal(
+                0, r.uniform(0.01, 0.05), arr.shape
+            ).astype(np.float32)
+        if r.random() < 0.3:  # contrast jitter
+            mean = arr.mean()
+            arr = mean + (arr - mean) * r.uniform(0.7, 1.3)
+        return np.clip(arr, 0.0, 1.0)
+
+    # ---- full pages for the detector ----
+
+    def render_page(
+        self, size: int = 640, n_lines: int | None = None, augment: bool = True
+    ) -> PageSample:
+        r = self.rng
+        n_lines = n_lines or r.randint(4, 14)
+        img = Image.new("L", (size, size), r.randint(235, 255))
+        d = ImageDraw.Draw(img)
+        quads: list[np.ndarray] = []
+        texts: list[str] = []
+        y = r.randint(10, 40)
+        while len(texts) < n_lines and y < size - 40:
+            x = r.randint(8, size // 3)
+            font = self._font(r.choice(FONTS), r.randint(14, 30))
+            text = self.random_text(max_words=3)
+            bbox = d.textbbox((x, y), text, font=font)
+            if bbox[2] >= size - 4:
+                text = text.split()[0]
+                bbox = d.textbbox((x, y), text, font=font)
+            if bbox[2] < size - 4 and bbox[3] < size - 4:
+                d.text((x, y), text, fill=r.randint(0, 70), font=font)
+                x0, y0, x1, y1 = bbox
+                quads.append(
+                    np.array(
+                        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32
+                    )
+                )
+                texts.append(text)
+            y = bbox[3] + r.randint(6, 30)
+        arr = np.asarray(img, np.float32) / 255.0
+        if augment and r.random() < 0.5:
+            arr = np.clip(
+                arr + np.random.default_rng(r.randrange(1 << 30)).normal(
+                    0, 0.02, arr.shape
+                ).astype(np.float32),
+                0, 1,
+            )
+        quads_arr = (
+            np.stack(quads) if quads else np.zeros((0, 4, 2), np.float32)
+        )
+        shrink, smask, thresh, tmask = make_db_targets(size, quads_arr)
+        return PageSample(
+            image=np.stack([arr] * 3, axis=-1),
+            quads=quads_arr,
+            texts=texts,
+            shrink_map=shrink,
+            shrink_mask=smask,
+            thresh_map=thresh,
+            thresh_mask=tmask,
+        )
+
+
+def make_db_targets(
+    size: int, quads: np.ndarray, shrink_ratio: float = 0.4
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """DB ground truth: shrunken positive region, border threshold band.
+
+    Follows Liao et al.: each text quad is shrunk by offset
+    d = area*(1-r^2)/perimeter for the probability target; the band between
+    the shrunk and dilated quad forms the threshold target.
+    """
+    shrink = np.zeros((size, size), np.float32)
+    smask = np.ones((size, size), np.float32)
+    thresh = np.zeros((size, size), np.float32)
+    tmask = np.zeros((size, size), np.float32)
+    ys, xs = np.mgrid[0:size, 0:size]
+    for quad in quads:
+        x0, y0 = quad[:, 0].min(), quad[:, 1].min()
+        x1, y1 = quad[:, 0].max(), quad[:, 1].max()
+        w, h = x1 - x0, y1 - y0
+        if w < 4 or h < 4:
+            continue
+        area = w * h
+        peri = 2 * (w + h)
+        d = area * (1 - shrink_ratio**2) / max(peri, 1e-6)
+        d = min(d, min(w, h) / 2 - 1)
+        # shrunk rectangle -> positive
+        sx0, sy0, sx1, sy1 = x0 + d, y0 + d, x1 - d, y1 - d
+        inside = (xs >= sx0) & (xs <= sx1) & (ys >= sy0) & (ys <= sy1)
+        shrink[inside] = 1.0
+        # dilated band -> threshold target rises toward the text edge
+        dx0, dy0, dx1, dy1 = x0 - d, y0 - d, x1 + d, y1 + d
+        band = (
+            (xs >= dx0) & (xs <= dx1) & (ys >= dy0) & (ys <= dy1) & ~inside
+        )
+        # distance to the original rect edge, normalized by d
+        dist_x = np.maximum(np.maximum(x0 - xs, xs - x1), 0)
+        dist_y = np.maximum(np.maximum(y0 - ys, ys - y1), 0)
+        dist = np.sqrt(dist_x**2 + dist_y**2)
+        inner_dist = np.minimum(
+            np.minimum(xs - x0, x1 - xs), np.minimum(ys - y0, y1 - ys)
+        )
+        signed = np.where(dist > 0, dist, -np.clip(inner_dist, 0, d))
+        tval = np.clip(1.0 - np.abs(signed) / max(d, 1e-6), 0, 1)
+        thresh[band] = np.maximum(thresh[band], tval[band])
+        tmask[band] = 1.0
+    return shrink, smask, thresh, tmask
+
+
+def layout_page_to_tokens(
+    page: PageSample, charset: Charset, max_len: int, page_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Convert a rendered page into layout-extractor training tokens with
+    BIO tags derived from the 'Key: value' structure of rendered lines.
+    Returns (ids, boxes, mask, tags, types)."""
+    from ocr_system_tpu.extract.rules import infer_field_type
+    from ocr_system_tpu.models.layout_extractor import COORD_BUCKETS, FIELD_TYPES
+
+    ids = np.zeros((max_len,), np.int32)
+    boxes = np.zeros((max_len, 4), np.int32)
+    mask = np.zeros((max_len,), np.int32)
+    tags = np.zeros((max_len,), np.int32)
+    types = np.zeros((max_len,), np.int32)
+    type_index = {t: i for i, t in enumerate(FIELD_TYPES)}
+    pos = 0
+    for quad, text in zip(page.quads, page.texts):
+        q = [
+            int(quad[:, 0].min() / page_size * (COORD_BUCKETS - 1)),
+            int(quad[:, 1].min() / page_size * (COORD_BUCKETS - 1)),
+            int(quad[:, 0].max() / page_size * (COORD_BUCKETS - 1)),
+            int(quad[:, 1].max() / page_size * (COORD_BUCKETS - 1)),
+        ]
+        if ":" in text:
+            key, _, value = text.partition(":")
+            value = value.strip()
+            ftype = type_index.get(infer_field_type(key, value), 0)
+            spans = [(key + ":", 1, 2, 0), (" ", 0, 0, 0), (value, 3, 4, ftype)]
+        else:
+            spans = [(text, 0, 0, 0)]
+        for span_text, b_tag, i_tag, ftype in spans:
+            for ci, ch in enumerate(span_text):
+                if pos >= max_len:
+                    break
+                ids[pos] = charset.char_to_id(ch)
+                boxes[pos] = q
+                mask[pos] = 1
+                tags[pos] = b_tag if ci == 0 else i_tag
+                types[pos] = ftype
+                pos += 1
+        if pos < max_len:  # inter-line space
+            mask[pos] = 1
+            pos += 1
+    return ids, boxes, mask, tags, types

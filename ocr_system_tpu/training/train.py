@@ -1,0 +1,384 @@
+"""Sharded training loops for the framework's three models.
+
+The reference has no training loop at all (inference-only against hosted
+models — SURVEY.md §5.4); the TPU rebuild owns its weights, so training is a
+first-class subsystem:
+
+  - recognizer (SVTR+CTC) on synthetic text lines      — dp-sharded
+  - detector (DBNet) on synthetic pages                — dp-sharded
+  - layout extractor (BIO tagging)                     — dp x tp sharded
+    (params split over `tp` via the logical rules in parallel/sharding.py)
+
+All steps are jit-compiled with explicit NamedShardings: the batch enters
+sharded over `dp`, gradients all-reduce over `dp` automatically (XLA inserts
+the psum from the sharding annotations), TP weights keep their axis sharding
+through the optimizer update. One mesh serves single-chip (1x1) through pod
+slices without code changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ocr_system_tpu.core.dtypes import DTypePolicy, default_policy
+from ocr_system_tpu.models.charsets import Charset, get_charset
+from ocr_system_tpu.ops import ctc
+from ocr_system_tpu.parallel import sharding as shd
+from ocr_system_tpu.training import synth
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Minimal train state (params + batch_stats + opt_state + step)."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: int = 0
+
+    def tree_flatten(self):  # pragma: no cover - pytree protocol
+        return (self.params, self.batch_stats, self.opt_state, self.step), None
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.batch_stats, s.opt_state, s.step), None),
+    lambda _, c: TrainState(*c),
+)
+
+
+def make_optimizer(lr: float = 1e-3, weight_decay: float = 1e-4):
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(lr, weight_decay=weight_decay),
+    )
+
+
+def init_state(model, optimizer, rng, *example_args, **kw) -> TrainState:
+    variables = model.init(rng, *example_args, **kw)
+    variables = shd.unbox(variables)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        step=0,
+    )
+
+
+# ---------------- recognizer ----------------
+
+
+def make_rec_train_step(model, optimizer, mesh: Mesh):
+    """Returns jitted (state, batch) -> (state, metrics). batch: dict with
+    images (B, H, W, 3), widths (B,), labels (B, L), label_lengths (B,)."""
+
+    def loss_fn(params, batch_stats, batch):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"],
+            batch["widths"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        logits, lengths = out
+        loss = ctc.ctc_loss(
+            logits, lengths, batch["labels"], batch["label_lengths"]
+        )
+        return loss, mutated["batch_stats"]
+
+    def step(state: TrainState, batch):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            {"loss": loss},
+        )
+
+    repl = NamedSharding(mesh, P())
+    batch_shard = NamedSharding(mesh, P("dp"))
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_shard),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def rec_batch_iterator(
+    charset: Charset,
+    batch_size: int,
+    width: int = 320,
+    max_label_len: int = 48,
+    seed: int = 0,
+) -> Iterator[dict]:
+    renderer = synth.TextRenderer(charset, seed=seed)
+    while True:
+        images = np.zeros((batch_size, 48, width, 3), np.float32)
+        widths = np.zeros((batch_size,), np.int32)
+        labels = np.zeros((batch_size, max_label_len), np.int32)
+        label_lengths = np.zeros((batch_size,), np.int32)
+        for i in range(batch_size):
+            sample = renderer.render_line(max_width=width)
+            enc = charset.encode(sample.text)[:max_label_len]
+            if not enc:
+                enc = [1]
+            images[i] = sample.image
+            widths[i] = sample.width
+            labels[i, : len(enc)] = enc
+            label_lengths[i] = len(enc)
+        yield {
+            "images": images,
+            "widths": widths,
+            "labels": labels,
+            "label_lengths": label_lengths,
+        }
+
+
+# ---------------- detector ----------------
+
+
+def make_det_train_step(model, optimizer, mesh: Mesh):
+    from ocr_system_tpu.models.dbnet import db_loss
+    from ocr_system_tpu.ops.image_ops import normalize_for_model
+
+    def loss_fn(params, batch_stats, batch):
+        imgs = jax.vmap(normalize_for_model)(batch["images"])
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss = db_loss(
+            out,
+            batch["shrink_map"],
+            batch["shrink_mask"],
+            batch["thresh_map"],
+            batch["thresh_mask"],
+        )
+        return loss, mutated["batch_stats"]
+
+    def step(state: TrainState, batch):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            {"loss": loss},
+        )
+
+    repl = NamedSharding(mesh, P())
+    batch_shard = NamedSharding(mesh, P("dp"))
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_shard),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def det_batch_iterator(
+    batch_size: int, size: int = 640, seed: int = 0, charset: Charset | None = None
+) -> Iterator[dict]:
+    renderer = synth.TextRenderer(charset or get_charset("latin"), seed=seed)
+    while True:
+        images = np.zeros((batch_size, size, size, 3), np.float32)
+        shrink = np.zeros((batch_size, size, size), np.float32)
+        smask = np.zeros((batch_size, size, size), np.float32)
+        thresh = np.zeros((batch_size, size, size), np.float32)
+        tmask = np.zeros((batch_size, size, size), np.float32)
+        for i in range(batch_size):
+            page = renderer.render_page(size=size)
+            images[i] = page.image
+            shrink[i] = page.shrink_map
+            smask[i] = page.shrink_mask
+            thresh[i] = page.thresh_map
+            tmask[i] = page.thresh_mask
+        yield {
+            "images": images,
+            "shrink_map": shrink,
+            "shrink_mask": smask,
+            "thresh_map": thresh,
+            "thresh_mask": tmask,
+        }
+
+
+# ---------------- layout extractor (dp x tp) ----------------
+
+
+def make_layout_train_step(model, optimizer, mesh: Mesh):
+    """TP-sharded step: param shardings derive from the model's logical axis
+    annotations; batch shards over dp. XLA lowers the cross-tp matmul
+    reductions and cross-dp grad psums onto ICI."""
+    from ocr_system_tpu.models.layout_extractor import extraction_loss
+
+    def loss_fn(params, batch):
+        out = model.apply(
+            {"params": params},
+            batch["ids"],
+            batch["boxes"],
+            batch["mask"],
+            train=True,
+        )
+        return extraction_loss(
+            out, batch["tags"], batch["types"], batch["form"], batch["mask"]
+        )
+
+    def step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, state.batch_stats, new_opt, state.step + 1),
+            {"loss": loss},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def init_layout_state_sharded(
+    model, optimizer, mesh: Mesh, example_args, seed: int = 0
+) -> TrainState:
+    """Init the layout extractor with TP-sharded params.
+
+    Params are placed by their logical-axis shardings (mlp/heads split over
+    `tp`); the optimizer is then initialized ON the sharded params so adamw
+    moments inherit the same shardings — jit propagates placement from
+    inputs, no per-step annotations needed.
+    """
+    variables = model.init(jax.random.PRNGKey(seed), *example_args, train=False)
+    sharded = shd.shard_params(variables, mesh)
+    params = sharded["params"]
+    opt_state = jax.jit(optimizer.init)(params)
+    return TrainState(params=params, batch_stats={}, opt_state=opt_state, step=0)
+
+
+def layout_batch_iterator(
+    charset: Charset, batch_size: int, max_len: int = 512,
+    page_size: int = 640, seed: int = 0,
+) -> Iterator[dict]:
+    renderer = synth.TextRenderer(charset, seed=seed)
+    while True:
+        ids = np.zeros((batch_size, max_len), np.int32)
+        boxes = np.zeros((batch_size, max_len, 4), np.int32)
+        mask = np.zeros((batch_size, max_len), np.int32)
+        tags = np.zeros((batch_size, max_len), np.int32)
+        types = np.zeros((batch_size, max_len), np.int32)
+        form = np.zeros((batch_size,), np.int32)
+        for i in range(batch_size):
+            page = renderer.render_page(size=page_size)
+            (
+                ids[i], boxes[i], mask[i], tags[i], types[i],
+            ) = synth.layout_page_to_tokens(page, charset, max_len, page_size)
+        yield {
+            "ids": ids, "boxes": boxes, "mask": mask,
+            "tags": tags, "types": types, "form": form,
+        }
+
+
+# ---------------- driver ----------------
+
+
+def train_recognizer(
+    steps: int = 200,
+    batch_size: int = 64,
+    width: int = 320,
+    charset_name: str = "latin",
+    lr: float = 1e-3,
+    mesh: Mesh | None = None,
+    policy: DTypePolicy | None = None,
+    log_every: int = 50,
+    seed: int = 0,
+    state: TrainState | None = None,
+) -> tuple[TrainState, dict]:
+    """Train the SVTR recognizer on synthetic lines. Returns (state, metrics)."""
+    from ocr_system_tpu.models.recognizer import SVTRRecognizer
+
+    charset = get_charset(charset_name)
+    model = SVTRRecognizer(
+        vocab_size=charset.size, policy=policy or default_policy()
+    )
+    mesh = mesh or shd_default_mesh()
+    optimizer = make_optimizer(lr)
+    if state is None:
+        rng = jax.random.PRNGKey(seed)
+        state = init_state(
+            model, optimizer, rng,
+            jnp.zeros((1, 48, width, 3)), jnp.array([width]), train=False,
+        )
+    step_fn = make_rec_train_step(model, optimizer, mesh)
+    it = rec_batch_iterator(charset, batch_size, width=width, seed=seed)
+    losses = []
+    t0 = time.time()
+    for i in range(steps):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+        if log_every and (i + 1) % log_every == 0:
+            logger.info(
+                "rec step %d loss %.4f (%.2f steps/s)",
+                i + 1, np.mean(losses[-log_every:]), (i + 1) / (time.time() - t0),
+            )
+    return state, {"loss_first": losses[0], "loss_last": float(np.mean(losses[-10:]))}
+
+
+def train_detector(
+    steps: int = 100,
+    batch_size: int = 4,
+    size: int = 640,
+    lr: float = 1e-3,
+    mesh: Mesh | None = None,
+    policy: DTypePolicy | None = None,
+    log_every: int = 20,
+    seed: int = 0,
+    state: TrainState | None = None,
+) -> tuple[TrainState, dict]:
+    from ocr_system_tpu.models.dbnet import DBNet
+
+    model = DBNet(policy=policy or default_policy())
+    mesh = mesh or shd_default_mesh()
+    optimizer = make_optimizer(lr)
+    if state is None:
+        state = init_state(
+            model, optimizer, jax.random.PRNGKey(seed),
+            jnp.zeros((1, size, size, 3)), train=True,
+        )
+    step_fn = make_det_train_step(model, optimizer, mesh)
+    it = det_batch_iterator(batch_size, size=size, seed=seed)
+    losses = []
+    t0 = time.time()
+    for i in range(steps):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+        if log_every and (i + 1) % log_every == 0:
+            logger.info(
+                "det step %d loss %.4f (%.2f steps/s)",
+                i + 1, np.mean(losses[-log_every:]), (i + 1) / (time.time() - t0),
+            )
+    return state, {"loss_first": losses[0], "loss_last": float(np.mean(losses[-5:]))}
+
+
+def shd_default_mesh() -> Mesh:
+    from ocr_system_tpu.core.mesh import build_mesh
+
+    return build_mesh("dp=-1")

@@ -44,6 +44,30 @@ class TestSampling:
         assert float(crops.mean()) > 0.7
 
 
+class TestSeparableCrop:
+    def test_matches_general_path_for_axis_aligned(self):
+        rng = np.random.default_rng(3)
+        img = rng.random((100, 120, 3)).astype(np.float32)
+        quads = np.array(
+            [
+                [[10, 20], [60, 20], [60, 40], [10, 40]],
+                [[5, 5], [100, 5], [100, 30], [5, 30]],
+            ],
+            np.float32,
+        )
+        general = sampling.crop_quads(jnp.array(img), jnp.array(quads), (16, 48))
+        aabbs = sampling.quads_to_aabbs(quads)
+        fast = sampling.crop_boxes_separable(jnp.array(img), jnp.array(aabbs), (16, 48))
+        assert float(jnp.abs(general - fast).max()) < 0.05
+
+    def test_alignment_check(self):
+        straight = np.array([[[0, 0], [10, 0], [10, 5], [0, 5]]], np.float32)
+        assert sampling.quads_are_axis_aligned(straight)
+        tilted = np.array([[[0, 0], [10, 4], [10, 9], [0, 5]]], np.float32)
+        assert not sampling.quads_are_axis_aligned(tilted)
+        assert sampling.quads_are_axis_aligned(np.zeros((0, 4, 2)))
+
+
 class TestImageOps:
     def test_letterbox_shape_and_scale(self):
         img = jnp.ones((100, 200))
