@@ -92,6 +92,7 @@ class Settings(BaseModel):
 
     # --- TPU-native knobs (no reference analog; see SURVEY.md §2.4) ---
     mesh_shape: str = "dp=-1"  # e.g. "dp=4,tp=2"; -1 = fill remaining devices
+    use_pallas_kernels: bool = True  # planar fused preprocessing on TPU
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     det_image_buckets: tuple[int, ...] = (640, 960, 1280)

@@ -68,25 +68,41 @@ class Detector:
         if key not in self._forward_cache:
             s = self.settings
 
+            # planar Pallas enhancement on TPU backends; jnp elsewhere
+            use_pallas = (
+                s.use_pallas_kernels
+                and s.enable_contrast_enhancement
+                and not s.enable_adaptive_binarization
+                and jax.default_backend() not in ("cpu", "gpu")
+            )
+
             @jax.jit
             def fwd(images):
                 # images: (B, S, S, 3) uint8 canvases
                 f = images.astype(jnp.float32) / 255.0
 
-                def pre(img):
-                    angle = (
-                        image_ops.estimate_skew_angle(img)
-                        if s.enable_deskew
-                        else jnp.float32(0.0)
-                    )
-                    if s.enable_contrast_enhancement:
-                        img = image_ops.enhance_contrast(img, 1.2)
-                        img = image_ops.enhance_sharpness(img, 1.1)
-                    if s.enable_adaptive_binarization:
-                        img = image_ops.adaptive_binarize(img)
-                    return image_ops.normalize_for_model(img), angle
+                if s.enable_deskew:
+                    angles = jax.vmap(image_ops.estimate_skew_angle)(f)
+                else:
+                    angles = jnp.zeros((f.shape[0],), jnp.float32)
 
-                normed, angles = jax.vmap(pre)(f)
+                if use_pallas:
+                    from ocr_system_tpu.kernels.preprocess_pallas import (
+                        fused_enhance,
+                    )
+
+                    normed = fused_enhance(f)
+                else:
+
+                    def pre(img):
+                        if s.enable_contrast_enhancement:
+                            img = image_ops.enhance_contrast(img, 1.2)
+                            img = image_ops.enhance_sharpness(img, 1.1)
+                        if s.enable_adaptive_binarization:
+                            img = image_ops.adaptive_binarize(img)
+                        return image_ops.normalize_for_model(img)
+
+                    normed = jax.vmap(pre)(f)
                 prob = self.model.apply(self.variables, normed, train=False)["prob"]
                 # stride-2 avg pool: 4x smaller host transfer, no box loss
                 # (prob is an upsampling of stride-4 features anyway)

@@ -78,15 +78,18 @@ def gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> jnp.ndarray:
-    """Separable Gaussian blur on (H, W) via two 1-D convolutions."""
+    """Separable Gaussian blur on (H, W) via two 1-D convolutions.
+    Edge-replicated borders (matches cv2's BORDER_REPLICATE and the Pallas
+    kernel in kernels/preprocess_pallas.py)."""
     if radius is None:
         radius = max(int(3.0 * sigma + 0.5), 1)
     k = gaussian_kernel1d(sigma, radius).astype(img.dtype)
-    x = img[None, None]  # NCHW
+    padded = jnp.pad(img, ((radius, radius), (radius, radius)), mode="edge")
+    x = padded[None, None]  # NCHW
     kh = k[None, None, :, None]
     kw = k[None, None, None, :]
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(radius, radius), (0, 0)])
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (radius, radius)])
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
     return x[0, 0]
 
 
@@ -107,17 +110,18 @@ def enhance_sharpness(img: jnp.ndarray, factor: float = 1.1) -> jnp.ndarray:
     c = img.shape[-1]
     radius = 2
     k = gaussian_kernel1d(1.0, radius).astype(img.dtype)
-    x = img[None]  # NHWC
+    padded = jnp.pad(
+        img, ((radius, radius), (radius, radius), (0, 0)), mode="edge"
+    )
+    x = padded[None]  # NHWC
     kh = jnp.tile(k[:, None, None, None], (1, 1, 1, c))  # HWIO depthwise
     kw = jnp.tile(k[None, :, None, None], (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c,
+        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
     )
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn,
-        feature_group_count=c,
+        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
     )
     blurred = x[0]
     return jnp.clip(blurred + (img - blurred) * factor, 0.0, 1.0)
