@@ -126,6 +126,12 @@ def fused_enhance(
     from ops/image_ops.py, as one planar Pallas pass.
     """
     b, h, w_in, c = images.shape
+    # luma means per image (XLA; trivially fused reduction) — computed on
+    # the REAL pixels, before any alignment padding
+    luma = (
+        0.299 * images[..., 0] + 0.587 * images[..., 1] + 0.114 * images[..., 2]
+    )
+    gray_means = jnp.mean(luma, axis=(1, 2))  # (B,)
     # lane alignment: HBM slices must be 128-aligned along the minor dim
     w = ((w_in + 127) // 128) * 128
     if w != w_in:
@@ -133,11 +139,6 @@ def fused_enhance(
             images, ((0, 0), (0, 0), (0, w - w_in), (0, 0)), mode="edge"
         )
     tile = _TILE if h % _TILE == 0 and h > _TILE + 2 * _HALO else h
-    # luma means per image (XLA; trivially fused reduction)
-    luma = (
-        0.299 * images[..., 0] + 0.587 * images[..., 1] + 0.114 * images[..., 2]
-    )
-    gray_means = jnp.mean(luma, axis=(1, 2))  # (B,)
     planar = jnp.transpose(images, (0, 3, 1, 2))  # (B, C, H, W)
 
     means_pc = jnp.repeat(gray_means, c).reshape(b * c, 1)  # per plane
