@@ -1,0 +1,144 @@
+"""Evaluation: CER and field-extraction F1 on held-out synthetic documents.
+
+These are the BASELINE.md metrics ("CER within 1% of the Azure+PaddleOCR
+reference", "field-extraction F1"). The reference has no eval harness at all;
+here both metrics run against the synthetic generator with held-out seeds so
+they are reproducible without external data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+def edit_distance(a: str, b: str) -> int:
+    """Levenshtein distance, O(len(a)*len(b)) DP with two rows."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,  # delete
+                    cur[j - 1] + 1,  # insert
+                    prev[j - 1] + (ca != cb),  # substitute
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def cer(reference: str, hypothesis: str) -> float:
+    """Character error rate: edits / len(reference)."""
+    if not reference:
+        return 0.0 if not hypothesis else 1.0
+    return edit_distance(reference, hypothesis) / len(reference)
+
+
+@dataclass
+class RecEvalResult:
+    n_lines: int
+    mean_cer: float
+    exact_match_rate: float
+    samples: list[tuple[str, str]] = field(default_factory=list)
+
+
+def evaluate_recognizer(
+    recognizer,
+    charset,
+    n_lines: int = 100,
+    width: int = 320,
+    seed: int = 9999,
+    keep_samples: int = 5,
+) -> RecEvalResult:
+    """Render held-out lines, recognize them as full-width crops, score CER."""
+    import numpy as np
+
+    from ocr_system_tpu.training.synth import TextRenderer
+
+    renderer = TextRenderer(charset, seed=seed)
+    cers, exact = [], 0
+    samples = []
+    for i in range(n_lines):
+        sample = renderer.render_line(max_width=width, augment=False)
+        page = (sample.image * 255).astype(np.uint8)
+        quad = np.array(
+            [[[0, 0], [sample.width - 1, 0], [sample.width - 1, 47], [0, 47]]],
+            np.float32,
+        )
+        out = recognizer.recognize_page(page, quad)[0]
+        # charset-normalized reference (drop chars the model can't emit)
+        ref = charset.decode(charset.encode(sample.text))
+        c = cer(ref, out.text)
+        cers.append(c)
+        exact += int(out.text == ref)
+        if len(samples) < keep_samples:
+            samples.append((ref, out.text))
+    return RecEvalResult(
+        n_lines=n_lines,
+        mean_cer=float(sum(cers) / max(len(cers), 1)),
+        exact_match_rate=exact / max(n_lines, 1),
+        samples=samples,
+    )
+
+
+@dataclass
+class FieldEvalResult:
+    precision: float
+    recall: float
+    f1: float
+    n_docs: int
+
+
+def evaluate_field_extraction(
+    extractor, n_docs: int = 20, seed: int = 7777
+) -> FieldEvalResult:
+    """Generate synthetic 'Key: Value' documents, extract, score exact-match
+    (key, value) pair F1 — the reference's Gemini quality metric analog."""
+    import random
+
+    rng = random.Random(seed)
+    keys = ["Name", "Date", "Email", "Phone", "Total Amount", "Address",
+            "Invoice Number", "City", "Reference"]
+    values = {
+        "Name": ["John Smith", "Mary Garcia", "Wei Chen"],
+        "Date": ["15/01/2024", "2024-03-02"],
+        "Email": ["a@b.com", "billing@acme.com"],
+        "Phone": ["(555) 123-4567", "+91 9876543210"],
+        "Total Amount": ["$1,234.56", "$99"],
+        "Address": ["123 Main Street, Springfield, IL"],
+        "Invoice Number": ["INV-2024-001", "12345"],
+        "City": ["Springfield", "Mumbai"],
+        "Reference": ["REF-88", "A-12-B"],
+    }
+    tp = fp = fn = 0
+    for _ in range(n_docs):
+        chosen = rng.sample(keys, rng.randint(3, 6))
+        truth = {k: rng.choice(values[k]) for k in chosen}
+        text = "\n".join(f"{k}: {v}" for k, v in truth.items())
+        result = extractor.extract(text)
+        got = {
+            f.field_key: f.field_value
+            for f in result.fields
+            if f.field_value
+        }
+        for k, v in got.items():
+            if truth.get(k) == v:
+                tp += 1
+            else:
+                fp += 1
+        for k in truth:
+            if got.get(k) != truth[k]:
+                fn += 1
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    return FieldEvalResult(
+        precision=precision, recall=recall, f1=f1, n_docs=n_docs
+    )

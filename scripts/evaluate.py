@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Evaluate OCR + extraction quality. Prints a JSON report.
+
+Usage:
+  python scripts/evaluate.py --rec-checkpoint checkpoints/rec_latin
+  python scripts/evaluate.py --charset devanagari ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--rec-checkpoint", default="")
+    p.add_argument("--charset", default="latin")
+    p.add_argument("--lines", type=int, default=100)
+    p.add_argument("--docs", type=int, default=20)
+    args = p.parse_args()
+
+    from ocr_system_tpu.core.config import Settings
+    from ocr_system_tpu.engine.recognizer import Recognizer
+    from ocr_system_tpu.extract.rules import RuleExtractor
+    from ocr_system_tpu.models.charsets import get_charset
+    from ocr_system_tpu.training.evaluate import (
+        evaluate_field_extraction,
+        evaluate_recognizer,
+    )
+
+    settings = Settings(
+        rec_checkpoint=args.rec_checkpoint,
+        rec_width_buckets=(320,),
+        storage_root="storage",
+    )
+    charset = get_charset(args.charset)
+    rec = Recognizer(settings, charset=charset)
+    rec_result = evaluate_recognizer(rec, charset, n_lines=args.lines)
+    field_result = evaluate_field_extraction(RuleExtractor(), n_docs=args.docs)
+
+    print(
+        json.dumps(
+            {
+                "recognizer": {
+                    "checkpoint": args.rec_checkpoint or "(random init)",
+                    "charset": args.charset,
+                    "n_lines": rec_result.n_lines,
+                    "mean_cer": round(rec_result.mean_cer, 4),
+                    "exact_match_rate": round(rec_result.exact_match_rate, 4),
+                    "samples": rec_result.samples,
+                },
+                "field_extraction": {
+                    "precision": round(field_result.precision, 4),
+                    "recall": round(field_result.recall, 4),
+                    "f1": round(field_result.f1, 4),
+                    "n_docs": field_result.n_docs,
+                },
+            },
+            indent=2,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Multi-page PDF ingestion + DB migration/bootstrap tooling tests."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ocr_system_tpu.db.connection import Database
+from ocr_system_tpu.db.migrations import CURRENT_VERSION, get_version, migrate
+from ocr_system_tpu.engine.preprocess import (
+    load_document,
+    pdf_page_count,
+    rasterize_pdf,
+)
+
+
+def make_image_pdf(pages: list[np.ndarray]) -> bytes:
+    """Build a minimal scanned-style PDF: one embedded JPEG per page
+    (DCTDecode image XObjects — what scanners emit)."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    page_ids = []
+    # reserve ids: for each page -> image obj, content obj, page obj
+    pages_tree_id = 3 * len(pages) + 1
+    for i, arr in enumerate(pages):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+        jpeg = buf.getvalue()
+        h, w = arr.shape[:2]
+        img_id = add(
+            (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                f"/Filter /DCTDecode /Length {len(jpeg)} >>\nstream\n"
+            ).encode()
+            + jpeg
+            + b"\nendstream"
+        )
+        content = f"q {w} 0 0 {h} 0 0 cm /Im{i} Do Q".encode()
+        cid = add(
+            b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+        )
+        pid = add(
+            (
+                f"<< /Type /Page /Parent {pages_tree_id} 0 R "
+                f"/MediaBox [0 0 {w} {h}] "
+                f"/Resources << /XObject << /Im{i} {img_id} 0 R >> >> "
+                f"/Contents {cid} 0 R >>"
+            ).encode()
+        )
+        page_ids.append(pid)
+    kids = " ".join(f"{p} 0 R" for p in page_ids)
+    ptid = add(f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ids)} >>".encode())
+    assert ptid == pages_tree_id
+    cat = add(f"<< /Type /Catalog /Pages {ptid} 0 R >>".encode())
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0] * (len(objs) + 1)
+    for i, body in enumerate(objs, 1):
+        offsets[i] = len(out)
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for i in range(1, len(objs) + 1):
+        out += b"%010d 00000 n \n" % offsets[i]
+    out += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, cat, xref,
+    )
+    return bytes(out)
+
+
+@pytest.fixture()
+def two_page_pdf():
+    p1 = np.full((120, 100, 3), 255, np.uint8)
+    p1[20:40, 10:90] = 0
+    p2 = np.full((120, 100, 3), 255, np.uint8)
+    p2[60:80, 10:90] = 0
+    return make_image_pdf([p1, p2])
+
+
+class TestPDFIngestion:
+    def test_rasterize_two_pages(self, two_page_pdf):
+        pages = rasterize_pdf(two_page_pdf)
+        assert len(pages) == 2
+        assert pages[0].page_number == 1
+        assert pages[1].page_number == 2
+        assert pages[0].pixels.shape == (120, 100, 3)
+        # page content differs (dark band position)
+        assert pages[0].pixels[25, 50, 0] < 100
+        assert pages[1].pixels[25, 50, 0] > 200
+
+    def test_page_count(self, two_page_pdf):
+        assert pdf_page_count(two_page_pdf) == 2
+
+    def test_load_document_dispatches_pdf(self, two_page_pdf):
+        pages = load_document(two_page_pdf, "doc.pdf")
+        assert len(pages) == 2
+
+    def test_fake_engine_multipage_contract(self, settings, two_page_pdf):
+        from ocr_system_tpu.engine.pipeline import FakeOCREngine
+
+        res = FakeOCREngine(settings, text="A: B").process_document(
+            two_page_pdf, "doc.pdf"
+        )
+        assert res.success and res.total_pages == 2
+        assert "## Page 1" in res.combined_markdown
+        assert "## Page 2" in res.combined_markdown
+        assert {b["page_number"] for b in res.combined_layout_boxes} == {1, 2}
+
+
+class TestMigrations:
+    def test_fresh_db_stamped_current(self, tmp_path):
+        db = Database(tmp_path / "m.db")
+        assert get_version(db) == 0
+        applied = migrate(db)
+        assert applied == []
+        assert get_version(db) == CURRENT_VERSION
+        db.close()
+
+    def test_migrate_idempotent(self, tmp_path):
+        db = Database(tmp_path / "m2.db")
+        migrate(db)
+        assert migrate(db) == []
+        db.close()
+
+
+class TestInitDbScript:
+    def test_bootstrap_and_check(self, tmp_path, monkeypatch):
+        import subprocess
+        import sys
+
+        env = {
+            "DATABASE_PATH": str(tmp_path / "boot.db"),
+            "STORAGE_ROOT": str(tmp_path / "storage"),
+            "JAX_PLATFORMS": "cpu",
+            "PATH": "/usr/bin:/bin:/usr/local/bin",
+        }
+        import os
+
+        env = {**os.environ, **env}
+        out = subprocess.run(
+            [sys.executable, "scripts/init_db.py"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr
+        assert "templates seeded" in out.stdout
+        check = subprocess.run(
+            [sys.executable, "scripts/init_db.py", "--check"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+        assert check.returncode == 0
+        assert "ok" in check.stdout
