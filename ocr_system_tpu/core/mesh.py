@@ -82,7 +82,9 @@ def build_mesh(
     axes = config.resolve(len(devs))
     names = tuple(name for name, _ in axes)
     sizes = tuple(size for _, size in axes)
-    dev_array = np.asarray(devs).reshape(sizes)
+    total = math.prod(sizes)
+    # all-fixed axes may use a subset of devices (e.g. sp=4 of 8)
+    dev_array = np.asarray(devs[:total]).reshape(sizes)
     return Mesh(dev_array, names)
 
 

@@ -134,8 +134,10 @@ class Detector:
         results: dict[int, DetResult] = {}
         for bucket, idxs in by_bucket.items():
             batch = np.stack([canvases[i] for i in idxs])
-            fwd = self._forward(bucket, len(idxs))
-            prob, angles = fwd(jnp.asarray(batch))
+            batch, n_real = self._pad_for_dp(batch)
+            fwd = self._forward(bucket, batch.shape[0])
+            prob, angles = fwd(self._place(batch))
+            prob, angles = prob[:n_real], angles[:n_real]
             angles = np.asarray(angles)
 
             # host-side deskew + single re-pass for pages that need it
@@ -151,7 +153,9 @@ class Detector:
                     canvases[i], scales[i] = _letterbox_host(pages[i], bucket)
                     applied[j] = float(angles[j])
                 batch = np.stack([canvases[i] for i in idxs])
-                prob, _ = fwd(jnp.asarray(batch))
+                batch, n_real = self._pad_for_dp(batch)
+                prob, _ = fwd(self._place(batch))
+                prob = prob[:n_real]
 
             prob = np.asarray(prob, np.float32)
             for j, i in enumerate(idxs):
@@ -170,6 +174,47 @@ class Detector:
                     prob_map=prob[j],
                 )
         return [results[i] for i in range(len(pages))]
+
+
+    # ---- dp sharding helpers ----
+
+    def _mesh(self):
+        if not hasattr(self, "_mesh_cache"):
+            try:
+                from ocr_system_tpu.core.mesh import get_mesh
+
+                mesh = get_mesh()
+                self._mesh_cache = mesh if mesh.shape.get("dp", 1) > 1 else None
+            except Exception:
+                self._mesh_cache = None
+        return self._mesh_cache
+
+    def _pad_for_dp(self, batch: np.ndarray) -> tuple[np.ndarray, int]:
+        """Pad the page batch to a multiple of the dp axis so it shards
+        evenly; padded pages are white canvases sliced off after."""
+        mesh = self._mesh()
+        n = batch.shape[0]
+        if mesh is None:
+            return batch, n
+        dp = mesh.shape["dp"]
+        pad = (-n) % dp
+        if pad:
+            batch = np.concatenate(
+                [batch, np.full((pad, *batch.shape[1:]), 255, batch.dtype)]
+            )
+        return batch, n
+
+    def _place(self, batch: np.ndarray):
+        """Shard the page batch over dp (XLA splits the whole fused forward
+        across the mesh — SURVEY §2.4 'data-parallel page sharding')."""
+        mesh = self._mesh()
+        if mesh is None:
+            return jnp.asarray(batch)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            batch, NamedSharding(mesh, P("dp", None, None, None))
+        )
 
 
 def _det_bucket(shape, buckets: tuple[int, ...]) -> int:

@@ -141,7 +141,9 @@ class JaxOCREngine:
             pages = load_document(data, filename, dpi=self.settings.pdf_raster_dpi)
         except Exception as e:  # decode failure is a structured error, not a crash
             return DocumentOCRResult(success=False, error=f"decode failed: {e}")
-        outputs = self.process_pages(pages)
+        from ocr_system_tpu.engine.scheduler import PageScheduler
+
+        outputs = PageScheduler(self, self.settings).process(pages)
         combined_md = combine_markdown([p.markdown for p in outputs])
         combined_html = "\n<hr>\n".join(p.html for p in outputs)
         return DocumentOCRResult(

@@ -1,0 +1,71 @@
+"""Page batch scheduler: dp-sharded dispatch with page-level retry.
+
+SURVEY.md §5.3's TPU equivalent of the reference's (absent) fault handling:
+"retry at the batch-scheduler level; page-level idempotent re-dispatch on
+device failure". Pages are embarrassingly parallel, so the scheduler:
+
+  1. groups pages into det-batch-sized waves (padded to the dp axis size so
+     each wave shards evenly over the mesh),
+  2. dispatches each wave through the engine,
+  3. on a wave failure, re-dispatches its pages INDIVIDUALLY (isolating a
+     poison page), and marks pages that fail twice as failed OCROutputs
+     instead of sinking the document.
+
+The reference's analog is the Semaphore(1) serial loop + LangGraph retry
+(ocr_service.py:620-627, extraction_service.py:169-183).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+from ocr_system_tpu.core.config import Settings, get_settings
+from ocr_system_tpu.engine.preprocess import PageImage
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ScheduleStats:
+    waves: int = 0
+    retried_pages: int = 0
+    failed_pages: int = 0
+
+
+class PageScheduler:
+    def __init__(self, engine, settings: Settings | None = None):
+        self.engine = engine
+        self.settings = settings or get_settings()
+        self.stats = ScheduleStats()
+
+    def process(self, pages: list[PageImage]) -> list:
+        """Returns one OCROutput per page, never raises on per-page failures."""
+        from ocr_system_tpu.engine.pipeline import OCROutput
+
+        wave_size = max(self.settings.det_batch_size, 1)
+        outputs: dict[int, object] = {}
+        for start in range(0, len(pages), wave_size):
+            wave = list(enumerate(pages))[start : start + wave_size]
+            self.stats.waves += 1
+            try:
+                results = self.engine.process_pages([p for _, p in wave])
+                for (i, _), r in zip(wave, results):
+                    outputs[i] = r
+            except Exception as e:
+                logger.warning("wave failed (%s); page-level re-dispatch", e)
+                for i, page in wave:
+                    self.stats.retried_pages += 1
+                    try:
+                        outputs[i] = self.engine.process_pages([page])[0]
+                    except Exception as e2:
+                        logger.error("page %d failed twice: %s", page.page_number, e2)
+                        self.stats.failed_pages += 1
+                        outputs[i] = OCROutput(
+                            success=False,
+                            page_number=page.page_number,
+                            page_width=float(page.width),
+                            page_height=float(page.height),
+                            error=f"page processing failed: {e2}",
+                        )
+        return [outputs[i] for i in range(len(pages))]
