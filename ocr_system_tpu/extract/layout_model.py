@@ -199,6 +199,15 @@ class LayoutModelExtractor:
         template: dict | None = None,
         custom_prompt: str | None = None,
     ) -> ExtractionResult:
+        # long documents: more tokens than max_len -> page-chunk map-reduce
+        # (SURVEY §5.7 pragmatic tier; ring attention serves the in-model
+        # path when an sp mesh axis is available)
+        approx_tokens = sum(len(b.get("content") or "") + 1 for b in word_boxes)
+        if approx_tokens > self.max_len and len(word_boxes) > 1:
+            return self._extract_chunked(
+                word_boxes, page_wh, ocr_text, line_confidences, template,
+                custom_prompt,
+            )
         t0 = time.perf_counter()
         ids, boxes, mask, word_of = tokenize_layout(
             word_boxes, page_wh, self.charset, self.max_len
@@ -239,6 +248,55 @@ class LayoutModelExtractor:
             processing_time_ms=int((time.perf_counter() - t0) * 1000),
             success=True,
         )
+
+
+    def _extract_chunked(
+        self, word_boxes, page_wh, ocr_text, line_confidences, template,
+        custom_prompt,
+    ) -> ExtractionResult:
+        """Split word boxes by page into chunks that fit max_len, extract
+        each, merge with earlier-chunk-wins dedup."""
+        from ocr_system_tpu.parallel.ring_attention import chunked_extract_merge
+
+        by_page: dict[int, list[dict]] = {}
+        for b in word_boxes:
+            by_page.setdefault(b.get("page_number", 1), []).append(b)
+
+        chunks: list[list[dict]] = []
+        cur: list[dict] = []
+        cur_tokens = 0
+
+        def flush():
+            nonlocal cur, cur_tokens
+            if cur:
+                chunks.append(cur)
+                cur, cur_tokens = [], 0
+
+        for page_no in sorted(by_page):
+            for b in by_page[page_no]:
+                n = len(b.get("content") or "") + 1
+                if cur and cur_tokens + n > self.max_len:
+                    flush()
+                cur.append(b)
+                cur_tokens += n
+        flush()
+        # guard: a chunk always has fewer tokens than the input (box-level
+        # splitting), so the recursive call below hits the direct path
+
+        results = [
+            self.extract_from_layout(
+                chunk, page_wh, ocr_text="", line_confidences=line_confidences,
+                template=None, custom_prompt=custom_prompt,
+            )
+            for chunk in chunks
+        ]
+        merged = chunked_extract_merge(results)
+        merged.language = infer_language(ocr_text)
+        if template:
+            merged.fields = self._fallback._apply_template(
+                merged.fields, [], line_confidences or {}, template
+            )
+        return merged
 
 
 def get_extractor(settings: Settings | None = None):

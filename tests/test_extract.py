@@ -130,3 +130,25 @@ class TestLayoutModelSmoke:
         ex = LayoutModelExtractor(settings)
         res = ex.extract_from_layout([], (600, 400))
         assert res.success and res.fields == []
+
+    def test_long_document_chunked(self, settings):
+        from ocr_system_tpu.extract.layout_model import LayoutModelExtractor
+
+        ex = LayoutModelExtractor(settings)
+        # >max_len tokens across 3 pages forces the chunked map-reduce path
+        word_boxes = []
+        for page in range(1, 4):
+            for i in range(60):
+                word_boxes.append(
+                    {
+                        "type": "word",
+                        "content": f"word{page}_{i:03d}_" + "x" * 12,
+                        "polygon": [10, 10 + i, 60, 10 + i, 60, 20 + i, 10, 20 + i],
+                        "page_number": page,
+                    }
+                )
+        assert sum(len(b["content"]) + 1 for b in word_boxes) > ex.max_len
+        res = ex.extract_from_layout(
+            word_boxes, (600, 400), ocr_text="Name: Bob\n"
+        )
+        assert res.success
