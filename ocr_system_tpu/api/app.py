@@ -626,6 +626,18 @@ def create_app(ctx: ApiContext | None = None) -> App:
                 }
         return Response.json({"steps": steps})
 
+    @r.get("/api/stats/devices")
+    async def stats_devices(req: Request, bg: BackgroundTasks) -> Response:
+        """Accelerator topology + memory (no reference analog — the cloud
+        engines hid the hardware; SURVEY §5.1 TPU equivalent)."""
+        from ocr_system_tpu.utils.profiler import device_memory_stats
+
+        try:
+            devices = device_memory_stats()
+        except Exception as e:
+            devices = [{"error": str(e)}]
+        return Response.json({"devices": devices})
+
     @r.get("/api/stats/overview")
     async def stats_overview(req: Request, bg: BackgroundTasks) -> Response:
         with ctx.db.session() as conn:

@@ -359,3 +359,10 @@ class TestStatsAndTemplates:
         data = body_json(client.get("/api/templates"))
         names = {t["name"] for t in data["items"]}
         assert {"General Form", "Invoice", "Application Form"} <= names
+
+
+def test_devices_endpoint(client):
+    resp = client.get("/api/stats/devices")
+    assert resp.status == 200
+    data = body_json(resp)
+    assert data["devices"] and "device" in data["devices"][0]
