@@ -107,6 +107,11 @@ class JaxOCREngine:
                     "page_number": page.page_number,
                 }
             )
+        from ocr_system_tpu.extract.tables import find_tables
+
+        table_boxes = [
+            t.to_layout_box() for t in find_tables(word_boxes, page.page_number)
+        ]
         lines = reading_order.order_blocks(blocks)
         line_boxes = [
             {
@@ -125,7 +130,7 @@ class JaxOCREngine:
             markdown=markdown,
             html="<br>\n".join(ln.text for ln in lines),
             json_content={"lines": [ln.text for ln in lines]},
-            layout_boxes=word_boxes + line_boxes,
+            layout_boxes=word_boxes + line_boxes + table_boxes,
             page_number=page.page_number,
             page_width=float(page.width),
             page_height=float(page.height),

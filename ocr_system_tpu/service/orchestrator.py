@@ -193,6 +193,28 @@ class ExtractionOrchestrator:
             )
 
         state.extract_result = self._with_retry(run, self.extract_retry, "extract")
+        # table structures recovered by the engine surface as table fields
+        # (reference: Azure table cells flow through the Gemini path)
+        try:
+            from ocr_system_tpu.extract.tables import Table, TableCell
+            from ocr_system_tpu.extract.types import ExtractedField
+
+            existing = {f.field_key for f in state.extract_result.fields}
+            for i, b in enumerate(
+                x for x in ocr.combined_layout_boxes if x.get("type") == "table"
+            ):
+                key = f"Table {i + 1}"
+                if key not in existing and b.get("content"):
+                    state.extract_result.fields.append(
+                        ExtractedField(
+                            field_key=key,
+                            field_value=b["content"],
+                            field_type="table",
+                            confidence=b.get("confidence", 0.9),
+                        )
+                    )
+        except Exception:
+            logger.exception("table field merge failed (non-fatal)")
         state.llm_time_ms = int((time.perf_counter() - t0) * 1000)
         self._log(
             state.document_id, "llm_extraction", "completed",

@@ -23,11 +23,49 @@ logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
 logger = logging.getLogger("train")
 
 
+def _resume_state(path: str, model, optimizer, example_init):
+    """Load params/batch_stats from a checkpoint into a fresh TrainState."""
+    from ocr_system_tpu.core.checkpoint import maybe_load
+    from ocr_system_tpu.training.train import TrainState
+
+    template = example_init()
+    loaded = maybe_load(
+        path, {"params": template.params, "batch_stats": template.batch_stats}
+    )
+    if loaded is None:
+        return None
+    return TrainState(
+        params=loaded["params"],
+        batch_stats=loaded["batch_stats"],
+        opt_state=optimizer.init(loaded["params"]),
+        step=0,
+    )
+
+
 def train_rec(args) -> None:
     import jax
+    import jax.numpy as jnp
 
     from ocr_system_tpu.core.checkpoint import save_checkpoint
+    from ocr_system_tpu.models.charsets import get_charset
+    from ocr_system_tpu.models.recognizer import SVTRRecognizer
     from ocr_system_tpu.training import train as T
+
+    state = None
+    if args.resume:
+        charset = get_charset(args.charset)
+        model = SVTRRecognizer(vocab_size=charset.size)
+        opt = T.make_optimizer(args.lr)
+        state = _resume_state(
+            args.resume, model, opt,
+            lambda: T.init_state(
+                model, opt, jax.random.PRNGKey(0),
+                jnp.zeros((1, 48, args.rec_width, 3)),
+                jnp.array([args.rec_width]), train=False,
+            ),
+        )
+        if state is not None:
+            logger.info("resumed from %s", args.resume)
 
     state, metrics = T.train_recognizer(
         steps=args.steps,
@@ -36,6 +74,7 @@ def train_rec(args) -> None:
         charset_name=args.charset,
         lr=args.lr,
         seed=args.seed,
+        state=state,
     )
     logger.info("rec metrics: %s", metrics)
     out = Path(args.out or f"checkpoints/rec_{args.charset}")
@@ -71,6 +110,7 @@ def main() -> None:
     p.add_argument("--det-size", type=int, default=640)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
+    p.add_argument("--resume", default=None, help="checkpoint to continue from")
     p.add_argument("--quick", action="store_true", help="tiny smoke run")
     args = p.parse_args()
 
