@@ -281,6 +281,16 @@ def get_engine(settings: Settings | None = None):
     if key not in _ENGINE_SINGLETON:
         if key == "jax":
             _ENGINE_SINGLETON[key] = JaxOCREngine(s)
+        elif key == "classical":
+            # classical CV detection + neural recognition: the no-weights
+            # fallback engine (third engine variant; SURVEY §2.1 #9-11 seam)
+            from ocr_system_tpu.engine.classical_detector import (
+                ClassicalDetector,
+            )
+
+            _ENGINE_SINGLETON[key] = JaxOCREngine(
+                s, detector=ClassicalDetector(s)
+            )
         elif key == "fake":
             _ENGINE_SINGLETON[key] = FakeOCREngine(s)
         else:

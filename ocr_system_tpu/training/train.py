@@ -197,29 +197,46 @@ def make_det_train_step(model, optimizer, mesh: Mesh):
 
 
 def det_batch_iterator(
-    batch_size: int, size: int = 640, seed: int = 0, charset: Charset | None = None
+    batch_size: int,
+    size: int = 640,
+    seed: int = 0,
+    charset: Charset | None = None,
+    pool_size: int = 256,
+    refresh_every: int = 8,
 ) -> Iterator[dict]:
+    """Page-pool iterator: page rendering (PIL + numpy DB targets) costs
+    ~1 s/page — far slower than a train step — so a pool of pre-rendered
+    pages is sampled per batch and `1/refresh_every` of each batch is
+    re-rendered fresh, keeping the device fed while the pool slowly turns
+    over."""
     renderer = synth.TextRenderer(charset or get_charset("latin"), seed=seed)
+    rng = np.random.default_rng(seed)
+
+    def render_one():
+        page = renderer.render_page(size=size)
+        return (
+            page.image, page.shrink_map, page.shrink_mask,
+            page.thresh_map, page.thresh_mask,
+        )
+
+    pool = [render_one() for _ in range(min(pool_size, 64))]
+    grow_target = pool_size
     while True:
-        images = np.zeros((batch_size, size, size, 3), np.float32)
-        shrink = np.zeros((batch_size, size, size), np.float32)
-        smask = np.zeros((batch_size, size, size), np.float32)
-        thresh = np.zeros((batch_size, size, size), np.float32)
-        tmask = np.zeros((batch_size, size, size), np.float32)
-        for i in range(batch_size):
-            page = renderer.render_page(size=size)
-            images[i] = page.image
-            shrink[i] = page.shrink_map
-            smask[i] = page.shrink_mask
-            thresh[i] = page.thresh_map
-            tmask[i] = page.thresh_mask
+        idxs = rng.integers(0, len(pool), batch_size)
+        batch = [pool[i] for i in idxs]
         yield {
-            "images": images,
-            "shrink_map": shrink,
-            "shrink_mask": smask,
-            "thresh_map": thresh,
-            "thresh_mask": tmask,
+            "images": np.stack([b[0] for b in batch]),
+            "shrink_map": np.stack([b[1] for b in batch]),
+            "shrink_mask": np.stack([b[2] for b in batch]),
+            "thresh_map": np.stack([b[3] for b in batch]),
+            "thresh_mask": np.stack([b[4] for b in batch]),
         }
+        # refresh/grow the pool a little each step
+        for _ in range(max(batch_size // refresh_every, 1)):
+            if len(pool) < grow_target:
+                pool.append(render_one())
+            else:
+                pool[rng.integers(0, len(pool))] = render_one()
 
 
 # ---------------- layout extractor (dp x tp) ----------------
