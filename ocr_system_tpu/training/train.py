@@ -87,9 +87,11 @@ def make_rec_train_step(model, optimizer, mesh: Mesh):
     images (B, H, W, 3), widths (B,), labels (B, L), label_lengths (B,)."""
 
     def loss_fn(params, batch_stats, batch):
+        # batches travel host->device as uint8 (4x less PCIe/tunnel traffic)
+        images = batch["images"].astype(jnp.float32) / 255.0
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["images"],
+            images,
             batch["widths"],
             train=True,
             mutable=["batch_stats"],
@@ -130,7 +132,7 @@ def rec_batch_iterator(
 ) -> Iterator[dict]:
     renderer = synth.TextRenderer(charset, seed=seed)
     while True:
-        images = np.zeros((batch_size, 48, width, 3), np.float32)
+        images = np.zeros((batch_size, 48, width, 3), np.uint8)
         widths = np.zeros((batch_size,), np.int32)
         labels = np.zeros((batch_size, max_label_len), np.int32)
         label_lengths = np.zeros((batch_size,), np.int32)
@@ -139,7 +141,7 @@ def rec_batch_iterator(
             enc = charset.encode(sample.text)[:max_label_len]
             if not enc:
                 enc = [1]
-            images[i] = sample.image
+            images[i] = (sample.image * 255).astype(np.uint8)
             widths[i] = sample.width
             labels[i, : len(enc)] = enc
             label_lengths[i] = len(enc)
@@ -159,7 +161,10 @@ def make_det_train_step(model, optimizer, mesh: Mesh):
     from ocr_system_tpu.ops.image_ops import normalize_for_model
 
     def loss_fn(params, batch_stats, batch):
-        imgs = jax.vmap(normalize_for_model)(batch["images"])
+        # uint8 on the wire; decode to f32 on device
+        imgs = jax.vmap(normalize_for_model)(
+            batch["images"].astype(jnp.float32) / 255.0
+        )
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             imgs,
@@ -168,10 +173,10 @@ def make_det_train_step(model, optimizer, mesh: Mesh):
         )
         loss = db_loss(
             out,
-            batch["shrink_map"],
-            batch["shrink_mask"],
-            batch["thresh_map"],
-            batch["thresh_mask"],
+            batch["shrink_map"].astype(jnp.float32) / 255.0,
+            batch["shrink_mask"].astype(jnp.float32) / 255.0,
+            batch["thresh_map"].astype(jnp.float32) / 255.0,
+            batch["thresh_mask"].astype(jnp.float32) / 255.0,
         )
         return loss, mutated["batch_stats"]
 
@@ -214,9 +219,10 @@ def det_batch_iterator(
 
     def render_one():
         page = renderer.render_page(size=size)
+        to_u8 = lambda a: np.clip(a * 255.0, 0, 255).astype(np.uint8)
         return (
-            page.image, page.shrink_map, page.shrink_mask,
-            page.thresh_map, page.thresh_mask,
+            to_u8(page.image), to_u8(page.shrink_map), to_u8(page.shrink_mask),
+            to_u8(page.thresh_map), to_u8(page.thresh_mask),
         )
 
     pool = [render_one() for _ in range(min(pool_size, 64))]
@@ -230,7 +236,7 @@ def det_batch_iterator(
             "shrink_mask": np.stack([b[2] for b in batch]),
             "thresh_map": np.stack([b[3] for b in batch]),
             "thresh_mask": np.stack([b[4] for b in batch]),
-        }
+        }  # all uint8 (see render_one)
         # refresh/grow the pool a little each step
         for _ in range(max(batch_size // refresh_every, 1)):
             if len(pool) < grow_target:
