@@ -38,6 +38,7 @@ from ocr_system_tpu.api.middleware import (
     RateLimitConfig,
     RateLimiter,
     cors_middleware,
+    endpoint_rate_limit,
     rate_limit_middleware,
     timing_middleware,
 )
@@ -280,7 +281,17 @@ def create_app(ctx: ApiContext | None = None) -> App:
 
     # ---- extractions ----
 
+    # OCR-heavy endpoint gets its own budget (reference: 20 rpm OCR limiter,
+    # rate_limit.py:244-253)
+    ocr_limiter = RateLimiter(
+        RateLimitConfig(
+            requests_per_minute=s.ocr_rate_limit_per_minute,
+            requests_per_hour=s.rate_limit_per_hour,
+        )
+    )
+
     @r.post("/api/extractions/{document_id}")
+    @endpoint_rate_limit(ocr_limiter)
     async def start_extraction(req: Request, bg: BackgroundTasks) -> Response:
         doc = get_document_or_404(req.path_params["document_id"])
         if doc["status"] == "processing":

@@ -103,6 +103,36 @@ def rate_limit_middleware(limiter: RateLimiter):
     return mw
 
 
+def endpoint_rate_limit(limiter: RateLimiter):
+    """Per-endpoint limiter decorator (reference rate_limit decorator +
+    pre-built OCR/LLM limiters, rate_limit.py:207-253). Wraps a handler:
+
+        @r.post("/api/extractions/{id}")
+        @endpoint_rate_limit(ocr_limiter)
+        async def start_extraction(req, bg): ...
+    """
+
+    def deco(handler):
+        import functools
+
+        @functools.wraps(handler)
+        async def wrapped(request: Request, *args, **kwargs):
+            allowed, retry_after, headers = await limiter.check(request.client_ip)
+            if not allowed:
+                return Response.json(
+                    {"detail": "Rate limit exceeded for this operation"},
+                    status=429,
+                    headers={**headers, "Retry-After": str(retry_after)},
+                )
+            response = await handler(request, *args, **kwargs)
+            response.headers.update(headers)
+            return response
+
+        return wrapped
+
+    return deco
+
+
 async def timing_middleware(request: Request, call_next):
     t0 = time.perf_counter()
     response = await call_next(request)
