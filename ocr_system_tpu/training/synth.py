@@ -32,6 +32,20 @@ FONTS = [
     "DejaVuSansMono.ttf",
 ]
 
+
+def discover_fonts(extra_dir: str | None = None) -> list[Path]:
+    """Font files for rendering. The baked DejaVu set covers Latin; for
+    Devanagari (BASELINE config 3) point SYNTH_FONT_DIR at a directory with
+    e.g. NotoSansDevanagari — the renderer picks up every .ttf found there.
+    """
+    import os
+
+    fonts = [_FONT_DIR / f for f in FONTS if (_FONT_DIR / f).is_file()]
+    extra = extra_dir or os.environ.get("SYNTH_FONT_DIR")
+    if extra and Path(extra).is_dir():
+        fonts += sorted(Path(extra).glob("*.ttf"))
+    return fonts
+
 _WORDS = (
     "invoice total amount name date address phone email city state zip "
     "order number quantity price tax paid due balance customer vendor "
@@ -59,16 +73,23 @@ class PageSample:
 
 
 class TextRenderer:
-    def __init__(self, charset: Charset, seed: int = 0):
+    def __init__(
+        self, charset: Charset, seed: int = 0, font_dir: str | None = None
+    ):
         self.charset = charset
         self.rng = random.Random(seed)
+        self.font_paths = discover_fonts(font_dir)
         self._fonts: dict[tuple[str, int], ImageFont.FreeTypeFont] = {}
 
-    def _font(self, name: str, size: int) -> ImageFont.FreeTypeFont:
-        key = (name, size)
+    def _font(self, name, size: int) -> ImageFont.FreeTypeFont:
+        path = name if isinstance(name, Path) else _FONT_DIR / name
+        key = (str(path), size)
         if key not in self._fonts:
-            self._fonts[key] = ImageFont.truetype(str(_FONT_DIR / name), size)
+            self._fonts[key] = ImageFont.truetype(str(path), size)
         return self._fonts[key]
+
+    def _random_font(self, size: int) -> ImageFont.FreeTypeFont:
+        return self._font(self.rng.choice(self.font_paths), size)
 
     def random_text(self, max_words: int = 4) -> str:
         r = self.rng
@@ -110,7 +131,7 @@ class TextRenderer:
         if text is None:
             text = self.random_text()
         font_size = r.randint(22, 38) if augment else 30
-        font = self._font(r.choice(FONTS), font_size)
+        font = self._random_font(font_size)
         pad = r.randint(2, 8) if augment else 4
         # measure
         tmp = Image.new("L", (4, 4))
@@ -162,7 +183,7 @@ class TextRenderer:
         y = r.randint(10, 40)
         while len(texts) < n_lines and y < size - 40:
             x = r.randint(8, size // 3)
-            font = self._font(r.choice(FONTS), r.randint(14, 30))
+            font = self._random_font(r.randint(14, 30))
             text = self.random_text(max_words=3)
             bbox = d.textbbox((x, y), text, font=font)
             if bbox[2] >= size - 4:
