@@ -89,6 +89,53 @@ def evaluate_recognizer(
 
 
 @dataclass
+class E2EEvalResult:
+    n_pages: int
+    mean_page_cer: float
+    line_recall: float  # fraction of truth lines matched with CER < 0.3
+
+
+def evaluate_end_to_end(
+    engine, charset, n_pages: int = 10, size: int = 800, seed: int = 5555
+) -> E2EEvalResult:
+    """Full-pipeline eval: render synthetic pages (held-out seed), run the
+    engine (det + rec + reading order), score page-level CER of the ordered
+    text and per-line recall. This is the BASELINE 'CER on test images'
+    metric measured end-to-end rather than rec-only."""
+    import numpy as np
+
+    from ocr_system_tpu.engine.preprocess import PageImage
+    from ocr_system_tpu.training.synth import TextRenderer
+
+    renderer = TextRenderer(charset, seed=seed)
+    page_cers = []
+    matched = total_lines = 0
+    for i in range(n_pages):
+        page = renderer.render_page(size=size, augment=False)
+        out = engine.process_pages([PageImage((page.image * 255).astype(np.uint8), 1)])[0]
+        truth_lines = [charset.decode(charset.encode(t)) for t in page.texts]
+        # page-level CER over reading-order concatenation
+        truth_sorted = "\n".join(
+            t for _, t in sorted(
+                zip((q[:, 1].min() for q in page.quads), truth_lines),
+                key=lambda p: p[0],
+            )
+        )
+        page_cers.append(cer(truth_sorted, out.markdown))
+        # per-line recall
+        got_lines = out.markdown.splitlines()
+        for t in truth_lines:
+            total_lines += 1
+            if any(cer(t, g) < 0.3 for g in got_lines):
+                matched += 1
+    return E2EEvalResult(
+        n_pages=n_pages,
+        mean_page_cer=float(sum(page_cers) / max(len(page_cers), 1)),
+        line_recall=matched / max(total_lines, 1),
+    )
+
+
+@dataclass
 class FieldEvalResult:
     precision: float
     recall: float

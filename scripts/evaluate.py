@@ -19,9 +19,14 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--rec-checkpoint", default="")
+    p.add_argument("--det-checkpoint", default="")
     p.add_argument("--charset", default="latin")
     p.add_argument("--lines", type=int, default=100)
     p.add_argument("--docs", type=int, default=20)
+    p.add_argument(
+        "--e2e", default="", help="run full-pipeline eval: 'classical' or 'jax'"
+    )
+    p.add_argument("--pages", type=int, default=10)
     args = p.parse_args()
 
     from ocr_system_tpu.core.config import Settings
@@ -35,6 +40,7 @@ def main() -> None:
 
     settings = Settings(
         rec_checkpoint=args.rec_checkpoint,
+        det_checkpoint=args.det_checkpoint,
         rec_width_buckets=(320,),
         storage_root="storage",
     )
@@ -42,6 +48,38 @@ def main() -> None:
     rec = Recognizer(settings, charset=charset)
     rec_result = evaluate_recognizer(rec, charset, n_lines=args.lines)
     field_result = evaluate_field_extraction(RuleExtractor(), n_docs=args.docs)
+
+    e2e_report = None
+    if args.e2e:
+        from ocr_system_tpu.engine.pipeline import JaxOCREngine
+        from ocr_system_tpu.training.evaluate import evaluate_end_to_end
+
+        e2e_settings = Settings(
+            rec_checkpoint=args.rec_checkpoint,
+            det_checkpoint=args.det_checkpoint,
+            rec_width_buckets=(80, 160, 320, 640),
+            det_image_buckets=(960,),
+            storage_root="storage",
+        )
+        if args.e2e == "classical":
+            from ocr_system_tpu.engine.classical_detector import ClassicalDetector
+
+            engine = JaxOCREngine(
+                e2e_settings, detector=ClassicalDetector(e2e_settings),
+                recognizer=Recognizer(e2e_settings, charset=charset),
+            )
+        else:
+            engine = JaxOCREngine(
+                e2e_settings,
+                recognizer=Recognizer(e2e_settings, charset=charset),
+            )
+        r = evaluate_end_to_end(engine, charset, n_pages=args.pages)
+        e2e_report = {
+            "engine": args.e2e,
+            "n_pages": r.n_pages,
+            "mean_page_cer": round(r.mean_page_cer, 4),
+            "line_recall": round(r.line_recall, 4),
+        }
 
     print(
         json.dumps(
@@ -60,6 +98,7 @@ def main() -> None:
                     "f1": round(field_result.f1, 4),
                     "n_docs": field_result.n_docs,
                 },
+                "end_to_end": e2e_report,
             },
             indent=2,
         )
