@@ -129,28 +129,42 @@ def rec_batch_iterator(
     width: int = 320,
     max_label_len: int = 48,
     seed: int = 0,
+    pool_size: int = 2048,
+    refresh_per_step: int = 16,
 ) -> Iterator[dict]:
+    """Line-pool iterator (same rationale as det_batch_iterator: rendering
+    competes with the device for wall-clock; a refreshing pool keeps the
+    accelerator fed)."""
     renderer = synth.TextRenderer(charset, seed=seed)
+    rng = np.random.default_rng(seed)
+
+    def render_one():
+        sample = renderer.render_line(max_width=width)
+        enc = charset.encode(sample.text)[:max_label_len] or [1]
+        labels = np.zeros((max_label_len,), np.int32)
+        labels[: len(enc)] = enc
+        return (
+            (sample.image * 255).astype(np.uint8),
+            np.int32(sample.width),
+            labels,
+            np.int32(len(enc)),
+        )
+
+    pool = [render_one() for _ in range(min(pool_size, 4 * batch_size))]
     while True:
-        images = np.zeros((batch_size, 48, width, 3), np.uint8)
-        widths = np.zeros((batch_size,), np.int32)
-        labels = np.zeros((batch_size, max_label_len), np.int32)
-        label_lengths = np.zeros((batch_size,), np.int32)
-        for i in range(batch_size):
-            sample = renderer.render_line(max_width=width)
-            enc = charset.encode(sample.text)[:max_label_len]
-            if not enc:
-                enc = [1]
-            images[i] = (sample.image * 255).astype(np.uint8)
-            widths[i] = sample.width
-            labels[i, : len(enc)] = enc
-            label_lengths[i] = len(enc)
+        idxs = rng.integers(0, len(pool), batch_size)
+        batch = [pool[i] for i in idxs]
         yield {
-            "images": images,
-            "widths": widths,
-            "labels": labels,
-            "label_lengths": label_lengths,
+            "images": np.stack([b[0] for b in batch]),
+            "widths": np.array([b[1] for b in batch], np.int32),
+            "labels": np.stack([b[2] for b in batch]),
+            "label_lengths": np.array([b[3] for b in batch], np.int32),
         }
+        for _ in range(refresh_per_step):
+            if len(pool) < pool_size:
+                pool.append(render_one())
+            else:
+                pool[rng.integers(0, len(pool))] = render_one()
 
 
 # ---------------- detector ----------------
