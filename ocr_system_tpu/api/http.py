@@ -250,7 +250,15 @@ class App:
         client_ip = peer[0] if peer else ""
         try:
             while True:
-                request = await _read_request(reader, client_ip)
+                try:
+                    request = await _read_request(reader, client_ip)
+                except HTTPError as e:
+                    await _write_response(
+                        writer,
+                        Response.json({"detail": e.detail}, status=e.status),
+                        keep_alive=False,
+                    )
+                    break
                 if request is None:
                     break
                 response, background = await self.handle(request)

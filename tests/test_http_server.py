@@ -142,3 +142,18 @@ class TestSocketServer:
         with concurrent.futures.ThreadPoolExecutor(8) as ex:
             results = list(ex.map(lambda _: get(server + "/")[0], range(16)))
         assert all(c == 200 for c in results)
+
+
+def test_oversized_body_413(server):
+    import http.client
+
+    host = server.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=5)
+    conn.putrequest("POST", "/post")
+    conn.putheader("Content-Type", "application/json")
+    conn.putheader("Content-Length", str(100 * 1024 * 1024))
+    conn.endheaders()
+    # server rejects based on the header before the body arrives
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
