@@ -44,11 +44,20 @@ def load_checkpoint(path: str | Path, example_tree: Any | None = None) -> Any:
 
 def maybe_load(path: str, example_tree: Any | None = None) -> Any | None:
     """Load if the path is set and exists; None otherwise (engines fall back
-    to random init, which keeps the framework usable without weights)."""
+    to random init, which keeps the framework usable without weights).
+
+    Falls back to a template-free restore when the stored tree is a superset
+    of the inference tree (e.g. DBNet checkpoints carry the train-only
+    thresh head); flax ignores extra parameters at apply time.
+    """
     if not path:
         return None
     p = Path(path)
     if not p.exists():
         logger.warning("checkpoint %s not found; using random init", path)
         return None
-    return load_checkpoint(p, example_tree)
+    try:
+        return load_checkpoint(p, example_tree)
+    except ValueError as e:
+        logger.info("template restore failed (%s); raw restore", str(e)[:120])
+        return load_checkpoint(p, None)

@@ -96,6 +96,9 @@ class Settings(BaseModel):
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     det_image_buckets: tuple[int, ...] = (640, 960, 1280)
+    det_bin_thresh: float = 0.3  # DB binarization threshold
+    det_box_thresh: float = 0.5  # min mean prob to keep a box
+    det_unclip_ratio: float = 1.6
     rec_image_height: int = 48
     rec_width_buckets: tuple[int, ...] = (80, 160, 320, 640)
     rec_batch_size: int = 64

@@ -163,6 +163,9 @@ class Detector:
                 h, w = pages[i].shape[:2]
                 boxes = boxes_from_prob_map(
                     prob[j],
+                    bin_thresh=s.det_bin_thresh,
+                    box_thresh=s.det_box_thresh,
+                    unclip_ratio=s.det_unclip_ratio,
                     scale_xy=(PROB_STRIDE / scale, PROB_STRIDE / scale),
                     clip_wh=(w, h),
                     max_boxes=s.max_boxes_per_page,

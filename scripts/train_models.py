@@ -83,8 +83,26 @@ def train_rec(args) -> None:
 
 
 def train_det(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
     from ocr_system_tpu.core.checkpoint import save_checkpoint
+    from ocr_system_tpu.models.dbnet import DBNet
     from ocr_system_tpu.training import train as T
+
+    state = None
+    if getattr(args, "resume", None):
+        model = DBNet()
+        opt = T.make_optimizer(args.lr)
+        state = _resume_state(
+            args.resume, model, opt,
+            lambda: T.init_state(
+                model, opt, jax.random.PRNGKey(0),
+                jnp.zeros((1, args.det_size, args.det_size, 3)), train=True,
+            ),
+        )
+        if state is not None:
+            logger.info("resumed from %s", args.resume)
 
     state, metrics = T.train_detector(
         steps=args.steps,
@@ -92,6 +110,7 @@ def train_det(args) -> None:
         size=args.det_size,
         lr=args.lr,
         seed=args.seed,
+        state=state,
     )
     logger.info("det metrics: %s", metrics)
     out = Path(args.out or "checkpoints/det")
