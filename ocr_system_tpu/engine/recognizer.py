@@ -107,6 +107,7 @@ class Recognizer:
                     lambda page, qs: crop_quads(page, qs, (h, width))
                 )(pages, quads)  # (P, N, h, width, 3)
                 crops = crops.reshape(-1, h, width, 3)
+                crops = _mask_pad(crops, widths.reshape(-1))
                 logits, lengths = self.model.apply(
                     self.variables, crops, widths.reshape(-1), train=False
                 )
@@ -130,6 +131,7 @@ class Recognizer:
                     lambda page, bs: crop_boxes_separable(page, bs, (h, width))
                 )(pages, aabbs)
                 crops = crops.reshape(-1, h, width, 3)
+                crops = _mask_pad(crops, widths.reshape(-1))
                 logits, lengths = self.model.apply(
                     self.variables, crops, widths.reshape(-1), train=False
                 )
@@ -187,6 +189,11 @@ class Recognizer:
                     group[k].append((q_i, quads[q_i], target_w[q_i]))
 
             for bucket, groups in per_bucket.items():
+                # aspect-preserving crops: extend each quad rightward so the
+                # (48, bucket) sample grid renders the text at its natural
+                # scale in the first w_valid columns (training pads, never
+                # stretches — inference must match; the padding region is
+                # zero-masked in the jitted fn)
                 # pad per-page crop counts to a shared static N (pow2 steps
                 # bound the compile cache like _pad_count does for batches)
                 n_per_page = _pad_count(
@@ -196,8 +203,9 @@ class Recognizer:
                 w_valid = np.full((n_pages, n_per_page), 1, np.int32)
                 for k, group in enumerate(groups):
                     for j, (q_i, quad, tw) in enumerate(group):
-                        q[k, j] = quad
-                        w_valid[k, j] = int(np.clip(tw, 16, bucket))
+                        wv = int(np.clip(tw, 16, bucket))
+                        q[k, j] = _extend_quad(quad, bucket / wv)
+                        w_valid[k, j] = wv
                 flat_quads = q.reshape(-1, 4, 2)
                 if quads_are_axis_aligned(flat_quads):
                     aabbs = quads_to_aabbs(flat_quads).reshape(
@@ -228,6 +236,22 @@ class Recognizer:
             [r if r is not None else RecResult("", 0.0) for r in row]
             for row in results
         ]
+
+
+def _extend_quad(quad: np.ndarray, factor: float) -> np.ndarray:
+    """Extend a quad along its reading direction by `factor` (tl/bl fixed)."""
+    out = quad.copy()
+    out[1] = quad[0] + (quad[1] - quad[0]) * factor  # tr
+    out[2] = quad[3] + (quad[2] - quad[3]) * factor  # br
+    return out
+
+
+def _mask_pad(crops, widths):
+    """Zero out columns beyond each crop's valid width (training pads with
+    black; see training/synth.render_line)."""
+    w = crops.shape[2]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    return jnp.where(cols < widths[:, None, None, None], crops, 0.0)
 
 
 def _first_ge(buckets: list[int], w: float) -> int:
