@@ -100,6 +100,7 @@ class Settings(BaseModel):
     det_box_thresh: float = 0.5  # min mean prob to keep a box
     det_unclip_ratio: float = 1.6
     rec_image_height: int = 48
+    rec_charset: str = "latin"  # latin | devanagari | multilingual
     rec_width_buckets: tuple[int, ...] = (80, 160, 320, 640)
     rec_batch_size: int = 64
     det_batch_size: int = 8

@@ -45,7 +45,7 @@ class Recognizer:
         seed: int = 0,
     ):
         self.settings = settings or get_settings()
-        self.charset = charset or get_charset("latin")
+        self.charset = charset or get_charset(self.settings.rec_charset)
         policy = DTypePolicy.from_names(
             self.settings.compute_dtype, self.settings.param_dtype
         )
