@@ -21,8 +21,8 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from functools import partial
-from typing import Any, Callable, Iterator
+
+from typing import Any, Iterator
 
 import jax
 import jax.numpy as jnp
