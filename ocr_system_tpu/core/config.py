@@ -98,7 +98,8 @@ class Settings(BaseModel):
     det_image_buckets: tuple[int, ...] = (640, 960, 1280)
     det_bin_thresh: float = 0.3  # DB binarization threshold
     det_box_thresh: float = 0.5  # min mean prob to keep a box
-    det_unclip_ratio: float = 1.6
+    det_unclip_ratio: float = 2.6  # thin text lines need >paper's 1.5-2.0
+    det_box_pad_ratio: float = 0.2  # extra margin (fraction of box height)
     rec_image_height: int = 48
     rec_charset: str = "latin"  # latin | devanagari | multilingual
     rec_width_buckets: tuple[int, ...] = (80, 160, 320, 640)

@@ -170,6 +170,11 @@ class Detector:
                     clip_wh=(w, h),
                     max_boxes=s.max_boxes_per_page,
                 )
+                # proportional margin: DB's shrink/unclip asymmetry leaves
+                # thin lines under-height, clipping ascenders/descenders
+                # that recognition needs
+                for b in boxes:
+                    _pad_quad(b.quad, s.det_box_pad_ratio, w, h)
                 results[i] = DetResult(
                     boxes=boxes,
                     skew_angle=float(applied[j]),
@@ -218,6 +223,17 @@ class Detector:
         return jax.device_put(
             batch, NamedSharding(mesh, P("dp", None, None, None))
         )
+
+
+def _pad_quad(quad: np.ndarray, ratio: float, page_w: float, page_h: float) -> None:
+    """In-place proportional expansion of a (4,2) quad, clipped to the page."""
+    h_box = float(quad[:, 1].max() - quad[:, 1].min())
+    pad = max(ratio * h_box, 1.0)
+    center = quad.mean(axis=0, keepdims=True)
+    direction = np.sign(quad - center)
+    quad += direction * pad
+    quad[:, 0] = np.clip(quad[:, 0], 0, page_w - 1)
+    quad[:, 1] = np.clip(quad[:, 1], 0, page_h - 1)
 
 
 def _det_bucket(shape, buckets: tuple[int, ...]) -> int:
