@@ -82,6 +82,8 @@ class Settings(BaseModel):
     # --- extraction (replaces Gemini config, reference: config.py:52-62) ---
     extraction_method: str = "rules"  # "rules" | "layout_model"
     extraction_max_retries: int = 3
+    extraction_timeout_s: float = 600.0  # whole-document budget
+    # (reference: 120 s/image, 600 s/PDF timeouts, ocr_service.py:670,684)
     extraction_temperature: float = 0.1
 
     # --- rate limits (reference: main.py:174-179, rate_limit.py:244-253) ---

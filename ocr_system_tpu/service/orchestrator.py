@@ -377,10 +377,17 @@ class ExtractionOrchestrator:
                 custom_prompt=custom_prompt,
             )
 
+        deadline = time.monotonic() + self.settings.extraction_timeout_s
         try:
             for stage_name, method in self._STAGES:
                 if stage_name in state.completed_stages:
                     continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"extraction exceeded "
+                        f"{self.settings.extraction_timeout_s:.0f}s budget "
+                        f"before stage '{stage_name}'"
+                    )
                 getattr(self, method)(state)
                 state.completed_stages.append(stage_name)
                 self.checkpointer.save(state)

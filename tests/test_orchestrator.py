@@ -171,3 +171,16 @@ class TestFailureAndRetry:
         o, _ = orch
         with pytest.raises(ValueError):
             o.extract_document("nope")
+
+
+def test_extraction_timeout_marks_failed(orch, settings):
+    import copy
+
+    o, doc = orch
+    o.settings = copy.deepcopy(o.settings)
+    o.settings.extraction_timeout_s = 0.0  # immediate budget exhaustion
+    with pytest.raises(TimeoutError):
+        o.extract_document(doc["id"])
+    d = o.repos.documents.get(doc["id"])
+    assert d["status"] == "failed"
+    assert "budget" in d["error_message"]
