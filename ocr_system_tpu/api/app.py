@@ -29,7 +29,6 @@ Route parity (reference backend/api/router.py:29-119 + sub-modules):
 from __future__ import annotations
 
 import logging
-import threading
 import time
 from datetime import datetime, timedelta, timezone
 

@@ -20,7 +20,7 @@ import os
 from pathlib import Path
 from typing import Any
 
-from pydantic import BaseModel, Field
+from pydantic import BaseModel
 
 
 def _parse_env_file(path: Path) -> dict[str, str]:

@@ -10,8 +10,6 @@ upgraded pre-bbox databases.
 
 from __future__ import annotations
 
-from typing import Callable
-
 from ocr_system_tpu.db.connection import Database
 
 # (version, description, statements)

@@ -25,7 +25,7 @@ from ocr_system_tpu.engine.detector import (
     MIN_DESKEW_DEG,
     _rotate_host,
 )
-from ocr_system_tpu.ops.boxes import DetectedBox, min_area_rect
+from ocr_system_tpu.ops.boxes import DetectedBox
 
 
 class ClassicalDetector:

@@ -10,7 +10,6 @@ every (bucket, batch) pair compiles once.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

@@ -16,7 +16,7 @@ Host-side numpy/geometry — tiny data, control-flow heavy (SURVEY §7.3 split).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -196,7 +196,6 @@ class ExtractionOrchestrator:
         # table structures recovered by the engine surface as table fields
         # (reference: Azure table cells flow through the Gemini path)
         try:
-            from ocr_system_tpu.extract.tables import Table, TableCell
             from ocr_system_tpu.extract.types import ExtractedField
 
             existing = {f.field_key for f in state.extract_result.fields}

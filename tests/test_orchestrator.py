@@ -3,7 +3,6 @@
 import pytest
 
 from ocr_system_tpu.db.connection import Database
-from ocr_system_tpu.db.crud import Repositories
 from ocr_system_tpu.engine.pipeline import FakeOCREngine
 from ocr_system_tpu.extract.rules import RuleExtractor
 from ocr_system_tpu.service.orchestrator import ExtractionOrchestrator

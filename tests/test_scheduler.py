@@ -1,7 +1,6 @@
 """Page scheduler: wave dispatch + page-level retry / poison isolation."""
 
 import numpy as np
-import pytest
 
 from ocr_system_tpu.engine.pipeline import FakeOCREngine
 from ocr_system_tpu.engine.preprocess import PageImage

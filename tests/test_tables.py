@@ -1,13 +1,8 @@
 """Table structure recovery tests."""
 
 import numpy as np
-import pytest
 
-from ocr_system_tpu.extract.tables import (
-    Table,
-    extract_table_fields,
-    find_tables,
-)
+from ocr_system_tpu.extract.tables import extract_table_fields, find_tables
 
 
 def _word(text, x, y, w=40, h=12, page=1):

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from ocr_system_tpu.core.mesh import build_mesh
 from ocr_system_tpu.models.charsets import get_charset
