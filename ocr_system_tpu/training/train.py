@@ -239,24 +239,42 @@ def det_batch_iterator(
             to_u8(page.thresh_map), to_u8(page.thresh_mask),
         )
 
+    import threading
+
     pool = [render_one() for _ in range(min(pool_size, 64))]
-    grow_target = pool_size
-    while True:
-        idxs = rng.integers(0, len(pool), batch_size)
-        batch = [pool[i] for i in idxs]
-        yield {
-            "images": np.stack([b[0] for b in batch]),
-            "shrink_map": np.stack([b[1] for b in batch]),
-            "shrink_mask": np.stack([b[2] for b in batch]),
-            "thresh_map": np.stack([b[3] for b in batch]),
-            "thresh_mask": np.stack([b[4] for b in batch]),
-        }  # all uint8 (see render_one)
-        # refresh/grow the pool a little each step
-        for _ in range(max(batch_size // refresh_every, 1)):
-            if len(pool) < grow_target:
-                pool.append(render_one())
-            else:
-                pool[rng.integers(0, len(pool))] = render_one()
+    lock = threading.Lock()
+    stop = threading.Event()
+
+    def worker():
+        # continuously renders fresh pages, decoupled from the train loop —
+        # pool turnover is then bounded by host CPU, not by steps (a slow
+        # per-step refresh let a 2k-step run overfit a 256-page pool)
+        wrng = np.random.default_rng(seed + 104729)
+        while not stop.is_set():
+            item = render_one()
+            with lock:
+                if len(pool) < pool_size:
+                    pool.append(item)
+                else:
+                    pool[wrng.integers(0, len(pool))] = item
+
+    threads = [threading.Thread(target=worker, daemon=True) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        while True:
+            with lock:
+                idxs = rng.integers(0, len(pool), batch_size)
+                batch = [pool[i] for i in idxs]
+            yield {
+                "images": np.stack([b[0] for b in batch]),
+                "shrink_map": np.stack([b[1] for b in batch]),
+                "shrink_mask": np.stack([b[2] for b in batch]),
+                "thresh_map": np.stack([b[3] for b in batch]),
+                "thresh_mask": np.stack([b[4] for b in batch]),
+            }  # all uint8 (see render_one)
+    finally:
+        stop.set()
 
 
 # ---------------- layout extractor (dp x tp) ----------------
