@@ -84,9 +84,15 @@ class ApiContext:
 
 
 def create_app(ctx: ApiContext | None = None) -> App:
+    from ocr_system_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # engine compiles survive server restarts
     ctx = ctx or ApiContext()
     app = App()
     s = ctx.settings
+    app.trusted_proxies = {
+        ip.strip() for ip in s.trusted_proxies.split(",") if ip.strip()
+    }
     app.use(cors_middleware)
     app.use(
         rate_limit_middleware(
@@ -447,6 +453,25 @@ def create_app(ctx: ApiContext | None = None) -> App:
                 (ext["id"],),
             )
             conn.execute("DELETE FROM extractions WHERE id = ?", (ext["id"],))
+            if ext.get("is_current"):
+                # promote the highest remaining version so GET
+                # /api/extractions/document/{id} keeps serving older
+                # versions; reset document status if none remain
+                row = conn.execute(
+                    "SELECT id FROM extractions WHERE document_id = ? "
+                    "ORDER BY version DESC LIMIT 1",
+                    (ext["document_id"],),
+                ).fetchone()
+                if row is not None:
+                    conn.execute(
+                        "UPDATE extractions SET is_current = 1 WHERE id = ?",
+                        (row["id"],),
+                    )
+                else:
+                    conn.execute(
+                        "UPDATE documents SET status = 'pending' WHERE id = ?",
+                        (ext["document_id"],),
+                    )
         return Response.json({"detail": "Extraction deleted", "id": ext["id"]})
 
     # ---- exports ----

@@ -72,10 +72,22 @@ class Request:
         boundary = m.group(1).encode()
         fields: dict[str, str] = {}
         files: dict[str, UploadFile] = {}
-        for part in self.body.split(b"--" + boundary):
-            part = part.strip(b"\r\n")
-            if not part or part == b"--":
+        # RFC 2046: parts are delimited by CRLF "--" boundary; only that one
+        # delimiter CRLF may be removed — payload bytes that legitimately
+        # start/end with 0x0A/0x0D (TIFFs, PDFs with trailing newlines) must
+        # survive intact.
+        delimiter = b"--" + boundary
+        body = self.body
+        if body.startswith(delimiter):  # first delimiter has no leading CRLF
+            body = b"\r\n" + body
+        segments = body.split(b"\r\n" + delimiter)
+        for seg in segments[1:]:  # segments[0] is the RFC 2046 preamble
+            if seg.startswith(b"--"):  # closing delimiter "--boundary--"
+                break
+            nl = seg.find(b"\r\n")  # end of the boundary line (after padding)
+            if nl == -1:
                 continue
+            part = seg[nl + 2 :]
             if b"\r\n\r\n" not in part:
                 continue
             head, data = part.split(b"\r\n\r\n", 1)
@@ -210,6 +222,11 @@ class App:
         self.middleware: list[Middleware] = []
         self.on_startup: list[Callable] = []
         self.on_shutdown: list[Callable] = []
+        # X-Forwarded-For is honored only when the TCP peer is one of these
+        # (the server binds 0.0.0.0 directly: an untrusted client could
+        # otherwise rotate the header to bypass per-IP rate limits)
+        self.trusted_proxies: set[str] = set()
+        self._bg_tasks: set[asyncio.Task] = set()
 
     def use(self, mw: Middleware) -> None:
         self.middleware.append(mw)
@@ -248,10 +265,11 @@ class App:
     ) -> None:
         peer = writer.get_extra_info("peername")
         client_ip = peer[0] if peer else ""
+        trust_xff = client_ip in self.trusted_proxies
         try:
             while True:
                 try:
-                    request = await _read_request(reader, client_ip)
+                    request = await _read_request(reader, client_ip, trust_xff)
                 except HTTPError as e:
                     await _write_response(
                         writer,
@@ -267,7 +285,14 @@ class App:
                     != "close"
                 )
                 await _write_response(writer, response, keep_alive)
-                await background.run()
+                if background.tasks:
+                    # run AFTER the response, off the connection loop: a
+                    # multi-minute OCR extraction must not block the next
+                    # request on this keep-alive connection (FastAPI
+                    # BackgroundTasks semantics)
+                    task = asyncio.create_task(background.run())
+                    self._bg_tasks.add(task)
+                    task.add_done_callback(self._bg_tasks.discard)
                 if not keep_alive:
                     break
         except (ConnectionResetError, asyncio.IncompleteReadError):
@@ -310,7 +335,7 @@ def _bind_mw(mw: Middleware, nxt):
 
 
 async def _read_request(
-    reader: asyncio.StreamReader, client_ip: str
+    reader: asyncio.StreamReader, client_ip: str, trust_xff: bool = False
 ) -> Request | None:
     try:
         request_line = await reader.readline()
@@ -339,7 +364,8 @@ async def _read_request(
         query = {k: v[0] for k, v in parse_qs(qs, keep_blank_values=True).items()}
     else:
         path, query = target, {}
-    fwd = headers.get("x-forwarded-for")
+    # client-controlled header: only meaningful behind a trusted proxy
+    fwd = headers.get("x-forwarded-for") if trust_xff else None
     ip = fwd.split(",")[0].strip() if fwd else client_ip
     return Request(
         method=method.upper(),

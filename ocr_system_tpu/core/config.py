@@ -87,6 +87,10 @@ class Settings(BaseModel):
     extraction_temperature: float = 0.1
 
     # --- rate limits (reference: main.py:174-179, rate_limit.py:244-253) ---
+    # comma-separated peer IPs whose X-Forwarded-For header is trusted
+    # (empty: rate limits key on the socket peer — the server binds 0.0.0.0
+    # directly, so the header is client-controlled by default)
+    trusted_proxies: str = ""
     rate_limit_per_minute: int = 60
     rate_limit_per_hour: int = 1000
     ocr_rate_limit_per_minute: int = 20

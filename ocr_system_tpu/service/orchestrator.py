@@ -359,8 +359,25 @@ class ExtractionOrchestrator:
 
         self.repos.documents.update_status(document_id, "processing")
 
-        # resume from checkpoint if a previous attempt partially completed
+        # resume from checkpoint if a previous attempt partially completed —
+        # but ONLY when this request targets the same extraction. A failed
+        # run leaves its checkpoint behind; a new POST /api/extractions/{doc}
+        # arrives with a NEW extraction_id (and possibly a new template /
+        # custom_prompt), and resuming the stale state would leave the new
+        # is_current row stuck at 'processing' forever.
         state = self.checkpointer.load(document_id)
+        if state is not None and state.extraction_id is not None:
+            requested_new = (
+                extraction_id is not None
+                and extraction_id != state.extraction_id
+            )
+            changed_inputs = (
+                template != state.template
+                or custom_prompt != state.custom_prompt
+            )
+            if requested_new or changed_inputs:
+                self.checkpointer.clear(document_id)
+                state = None
         if state is None or state.extraction_id is None:
             if extraction_id is None:
                 ext_row = self.repos.extractions.create_new_version(

@@ -366,3 +366,120 @@ def test_devices_endpoint(client):
     assert resp.status == 200
     data = body_json(resp)
     assert data["devices"] and "device" in data["devices"][0]
+
+
+class TestAdviceRegressions:
+    def test_multipart_binary_payload_preserved(self):
+        """RFC 2046: only the single delimiter CRLF is removed — payloads
+        that legitimately start/end with CR/LF bytes survive intact."""
+        payload = b"\r\n\x00\x01BINARY\r\ndata\x0d\x0a"
+        boundary = "bnd42"
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; filename="x.bin"\r\n'
+            "Content-Type: application/octet-stream\r\n\r\n".encode()
+            + payload
+            + f"\r\n--{boundary}--\r\n".encode()
+        )
+        req = Request(
+            method="POST", path="/x", query={}, body=body,
+            headers={
+                "content-type": f"multipart/form-data; boundary={boundary}"
+            },
+        )
+        fields, files = req.form()
+        assert files["file"].data == payload
+
+    def test_multipart_fields_and_file_mix(self):
+        boundary = "bnd43"
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="note"\r\n\r\n'
+            "hello\r\n".encode()
+            + f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="f"; filename="a.txt"\r\n'
+            "\r\nabc\r\n".encode()
+            + f"--{boundary}--\r\n".encode()
+        )
+        req = Request(
+            method="POST", path="/x", query={}, body=body,
+            headers={
+                "content-type": f"multipart/form-data; boundary={boundary}"
+            },
+        )
+        fields, files = req.form()
+        assert fields["note"] == "hello"
+        assert files["f"].data == b"abc"
+
+    def test_delete_current_extraction_promotes_previous(
+        self, client, uploaded
+    ):
+        doc_id = uploaded["id"]
+        # two versions exist after a re-extract
+        resp = client.post_json(f"/api/extractions/{doc_id}", {})
+        assert resp.status in (200, 202)
+        cur = body_json(client.get(f"/api/extractions/document/{doc_id}"))
+        assert cur["version"] >= 2
+        resp = client.delete(f"/api/extractions/{cur['id']}")
+        assert resp.status == 200
+        # previous version was promoted — document endpoint still serves one
+        prev = body_json(client.get(f"/api/extractions/document/{doc_id}"))
+        assert prev["id"] != cur["id"]
+        assert prev["is_current"] in (1, True)
+
+    def test_xff_ignored_without_trusted_proxy(self):
+        import asyncio
+
+        from ocr_system_tpu.api.http import _read_request
+
+        raw = (
+            b"GET / HTTP/1.1\r\nHost: x\r\n"
+            b"X-Forwarded-For: 9.9.9.9\r\n\r\n"
+        )
+
+        async def go(trust):
+            reader = asyncio.StreamReader()
+            reader.feed_data(raw)
+            reader.feed_eof()
+            return await _read_request(reader, "10.0.0.1", trust)
+
+        req = asyncio.run(go(False))
+        assert req.client_ip == "10.0.0.1"  # header NOT trusted
+        req = asyncio.run(go(True))
+        assert req.client_ip == "9.9.9.9"  # trusted proxy path
+
+    def test_engine_singleton_thread_safe(self, settings):
+        import threading
+
+        from ocr_system_tpu.engine import pipeline as P
+
+        P._ENGINE_SINGLETON.clear()
+        built = []
+        orig = P._build_engine
+
+        def slow_build(key, s):
+            import time
+
+            time.sleep(0.05)
+            e = orig(key, s)
+            built.append(e)
+            return e
+
+        P._build_engine = slow_build
+        try:
+            results = []
+            threads = [
+                threading.Thread(
+                    target=lambda: results.append(P.get_engine(settings))
+                )
+                for _ in range(4)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert len(built) == 1  # single construction
+            assert all(r is results[0] for r in results)
+        finally:
+            P._build_engine = orig
+            P._ENGINE_SINGLETON.clear()

@@ -183,3 +183,65 @@ def test_extraction_timeout_marks_failed(orch, settings):
     d = o.repos.documents.get(doc["id"])
     assert d["status"] == "failed"
     assert "budget" in d["error_message"]
+
+
+def test_new_extraction_request_discards_stale_checkpoint(orch, settings):
+    """A failed workflow leaves its checkpoint behind; a later request that
+    targets a NEW extraction row must not resume the stale state (which
+    would strand the new is_current row at status='processing' forever)."""
+    o, doc = orch
+
+    class Boom(RuleExtractor):
+        calls = 0
+
+        def extract(self, *a, **k):
+            Boom.calls += 1
+            if Boom.calls == 1:
+                raise RuntimeError("extract boom")
+            return super().extract(*a, **k)
+
+    o.extractor = Boom()
+    o.extract_retry.max_attempts = 1
+    with pytest.raises(RuntimeError):
+        o.extract_document(doc["id"])
+    stale = o.checkpointer.load(doc["id"])
+    assert stale is not None
+
+    # the API flow: POST /api/extractions/{doc} creates a new version first
+    new_row = o.repos.extractions.create_new_version(
+        doc["id"], status="processing"
+    )
+    ext = o.extract_document(doc["id"], extraction_id=new_row["id"])
+    assert ext["id"] == new_row["id"]  # the NEW row completed
+    assert ext["status"] == "completed"
+    cur = o.repos.extractions.get_current_for_document(doc["id"])
+    assert cur["id"] == new_row["id"]
+
+
+def test_changed_template_discards_stale_checkpoint(orch, settings):
+    """Same guard for a changed template/custom_prompt without an explicit
+    extraction_id."""
+    o, doc = orch
+
+    class Boom2(RuleExtractor):
+        calls = 0
+
+        def extract(self, *a, **k):
+            Boom2.calls += 1
+            if Boom2.calls == 1:
+                raise RuntimeError("boom")
+            return super().extract(*a, **k)
+
+    o.extractor = Boom2()
+    o.extract_retry.max_attempts = 1
+    with pytest.raises(RuntimeError):
+        o.extract_document(doc["id"])
+    stale = o.checkpointer.load(doc["id"])
+    assert stale is not None
+    old_eid = stale.extraction_id
+
+    ext = o.extract_document(
+        doc["id"], template={"expected_fields": ["Name"]}
+    )
+    assert ext["status"] == "completed"
+    assert ext["id"] != old_eid  # fresh run, not a stale resume
