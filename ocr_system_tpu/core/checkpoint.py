@@ -42,6 +42,28 @@ def load_checkpoint(path: str | Path, example_tree: Any | None = None) -> Any:
     return ckptr.restore(path)
 
 
+def init_or_load(model, rng, ckpt_path: str, *args, **kwargs) -> Any:
+    """Build model variables without paying eager per-op device dispatch.
+
+    Eager flax `model.init` runs op-by-op; over the remote-TPU tunnel
+    (~45 ms/dispatch) that cost the engine ~150 s at startup. Instead:
+      1. the variable TEMPLATE comes from jax.eval_shape (zero device work),
+      2. if a checkpoint exists, orbax restores into that abstract template,
+      3. otherwise a single jit-compiled init runs (one dispatch, and the
+         executable lands in the persistent compile cache).
+    """
+    import jax
+
+    def do_init(r):
+        return model.init(r, *args, **kwargs)
+
+    abstract = jax.eval_shape(do_init, rng)
+    loaded = maybe_load(ckpt_path, abstract)
+    if loaded is not None:
+        return loaded
+    return jax.jit(do_init)(rng)
+
+
 def maybe_load(path: str, example_tree: Any | None = None) -> Any | None:
     """Load if the path is set and exists; None otherwise (engines fall back
     to random init, which keeps the framework usable without weights).

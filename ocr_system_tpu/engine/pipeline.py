@@ -15,6 +15,7 @@ scale, working_viewer.py:112-114).
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -166,7 +167,21 @@ class JaxOCREngine:
         recognition batches every page's crops together (replaces the
         reference's Semaphore(1) serial page loop, ocr_service.py:620-627)."""
         t0 = time.perf_counter()
-        dets = self.detector.detect_batch([p.pixels for p in pages])
+        dets = self.det_stage(pages)
+        return self.rec_stage(pages, dets, t0)
+
+    # split stages so the scheduler can pipeline waves: det of wave N+1
+    # dispatches (and its host box extraction runs) while rec of wave N is
+    # blocked on the device — the 45 ms/dispatch tunnel latency and host
+    # postprocess hide behind device compute instead of adding to it
+
+    def det_stage(self, pages: list[PageImage]):
+        return self.detector.detect_batch([p.pixels for p in pages])
+
+    def rec_stage(
+        self, pages: list[PageImage], dets, t0: float | None = None
+    ) -> list[OCROutput]:
+        t0 = time.perf_counter() if t0 is None else t0
         rec_pages = [
             d.page if d.page is not None else p.pixels
             for p, d in zip(pages, dets)
@@ -271,28 +286,34 @@ def combine_markdown(pages_md: list[str]) -> str:
 
 
 _ENGINE_SINGLETON: dict[str, object] = {}
+_ENGINE_LOCK = threading.Lock()
 
 
 def get_engine(settings: Settings | None = None):
     """Engine selection + lazy singleton (reference: thread-safe lazy
-    singleton, ocr_service.py:126-160; selection flag config.py:70)."""
+    singleton with double-checked locking, ocr_service.py:126-160; selection
+    flag config.py:70). The lock matters: two concurrent first requests
+    would otherwise each build an engine and pay the ~60 s model compile
+    twice."""
     s = settings or get_settings()
     key = s.ocr_engine
-    if key not in _ENGINE_SINGLETON:
-        if key == "jax":
-            _ENGINE_SINGLETON[key] = JaxOCREngine(s)
-        elif key == "classical":
-            # classical CV detection + neural recognition: the no-weights
-            # fallback engine (third engine variant; SURVEY §2.1 #9-11 seam)
-            from ocr_system_tpu.engine.classical_detector import (
-                ClassicalDetector,
-            )
-
-            _ENGINE_SINGLETON[key] = JaxOCREngine(
-                s, detector=ClassicalDetector(s)
-            )
-        elif key == "fake":
-            _ENGINE_SINGLETON[key] = FakeOCREngine(s)
-        else:
-            raise ValueError(f"unknown OCR engine {key!r}")
+    if key in _ENGINE_SINGLETON:
+        return _ENGINE_SINGLETON[key]
+    with _ENGINE_LOCK:
+        if key not in _ENGINE_SINGLETON:
+            _ENGINE_SINGLETON[key] = _build_engine(key, s)
     return _ENGINE_SINGLETON[key]
+
+
+def _build_engine(key: str, s: Settings):
+    if key == "jax":
+        return JaxOCREngine(s)
+    if key == "classical":
+        # classical CV detection + neural recognition: the no-weights
+        # fallback engine (third engine variant; SURVEY §2.1 #9-11 seam)
+        from ocr_system_tpu.engine.classical_detector import ClassicalDetector
+
+        return JaxOCREngine(s, detector=ClassicalDetector(s))
+    if key == "fake":
+        return FakeOCREngine(s)
+    raise ValueError(f"unknown OCR engine {key!r}")

@@ -50,15 +50,17 @@ class Recognizer:
         )
         self.model = SVTRRecognizer(vocab_size=self.charset.size, policy=policy)
         if params is None:
-            rng = jax.random.PRNGKey(seed)
-            h = self.settings.rec_image_height
-            dummy = jnp.zeros((1, h, min(self.settings.rec_width_buckets), 3))
-            params = self.model.init(rng, dummy, None, train=False)
-            from ocr_system_tpu.core.checkpoint import maybe_load
+            from ocr_system_tpu.core.checkpoint import init_or_load
 
-            loaded = maybe_load(self.settings.rec_checkpoint, params)
-            if loaded is not None:
-                params = loaded
+            h = self.settings.rec_image_height
+            params = init_or_load(
+                self.model,
+                jax.random.PRNGKey(seed),
+                self.settings.rec_checkpoint,
+                jnp.zeros((1, h, min(self.settings.rec_width_buckets), 3)),
+                None,
+                train=False,
+            )
         self.variables = params
         self._fn_cache: dict[tuple, object] = {}
 

@@ -40,32 +40,73 @@ class PageScheduler:
         self.stats = ScheduleStats()
 
     def process(self, pages: list[PageImage]) -> list:
-        """Returns one OCROutput per page, never raises on per-page failures."""
+        """Returns one OCROutput per page, never raises on per-page failures.
+
+        Waves are PIPELINED when the engine exposes det/rec stages: a det
+        worker thread runs detection (device dispatch + host box extraction)
+        for wave N+1 while the main thread runs recognition for wave N — the
+        two stages share one device queue, so transfers and host postprocess
+        overlap device compute instead of serializing with it.
+        """
         from ocr_system_tpu.engine.pipeline import OCROutput
 
         wave_size = max(self.settings.det_batch_size, 1)
+        waves = [
+            list(enumerate(pages))[start : start + wave_size]
+            for start in range(0, len(pages), wave_size)
+        ]
         outputs: dict[int, object] = {}
-        for start in range(0, len(pages), wave_size):
-            wave = list(enumerate(pages))[start : start + wave_size]
-            self.stats.waves += 1
-            try:
-                results = self.engine.process_pages([p for _, p in wave])
-                for (i, _), r in zip(wave, results):
-                    outputs[i] = r
-            except Exception as e:
-                logger.warning("wave failed (%s); page-level re-dispatch", e)
-                for i, page in wave:
-                    self.stats.retried_pages += 1
+        pipelined = hasattr(self.engine, "det_stage") and hasattr(
+            self.engine, "rec_stage"
+        )
+
+        def handle_wave_failure(wave, err):
+            logger.warning("wave failed (%s); page-level re-dispatch", err)
+            for i, page in wave:
+                self.stats.retried_pages += 1
+                try:
+                    outputs[i] = self.engine.process_pages([page])[0]
+                except Exception as e2:
+                    logger.error(
+                        "page %d failed twice: %s", page.page_number, e2
+                    )
+                    self.stats.failed_pages += 1
+                    outputs[i] = OCROutput(
+                        success=False,
+                        page_number=page.page_number,
+                        page_width=float(page.width),
+                        page_height=float(page.height),
+                        error=f"page processing failed: {e2}",
+                    )
+
+        if pipelined and len(waves) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(1, thread_name_prefix="det") as det_pool:
+                det_futs = [
+                    det_pool.submit(
+                        self.engine.det_stage, [p for _, p in wave]
+                    )
+                    for wave in waves
+                ]
+                for wave, fut in zip(waves, det_futs):
+                    self.stats.waves += 1
                     try:
-                        outputs[i] = self.engine.process_pages([page])[0]
-                    except Exception as e2:
-                        logger.error("page %d failed twice: %s", page.page_number, e2)
-                        self.stats.failed_pages += 1
-                        outputs[i] = OCROutput(
-                            success=False,
-                            page_number=page.page_number,
-                            page_width=float(page.width),
-                            page_height=float(page.height),
-                            error=f"page processing failed: {e2}",
+                        dets = fut.result()
+                        results = self.engine.rec_stage(
+                            [p for _, p in wave], dets
                         )
+                        for (i, _), r in zip(wave, results):
+                            outputs[i] = r
+                    except Exception as e:
+                        handle_wave_failure(wave, e)
+        else:
+            for wave in waves:
+                self.stats.waves += 1
+                try:
+                    results = self.engine.process_pages([p for _, p in wave])
+                    for (i, _), r in zip(wave, results):
+                        outputs[i] = r
+                except Exception as e:
+                    handle_wave_failure(wave, e)
         return [outputs[i] for i in range(len(pages))]

@@ -160,22 +160,26 @@ class LayoutModelExtractor:
             vocab_size=self.charset.size, policy=policy, max_len=self.max_len
         )
         if params is None:
+            from ocr_system_tpu.core.checkpoint import maybe_load
+            from ocr_system_tpu.parallel.sharding import unbox
+
             rng = jax.random.PRNGKey(seed)
-            params = self.model.init(
-                rng,
+            example = (
                 jnp.zeros((1, 16), jnp.int32),
                 jnp.zeros((1, 16, 4), jnp.int32),
                 jnp.ones((1, 16), jnp.int32),
-                train=False,
             )
-            from ocr_system_tpu.parallel.sharding import unbox
 
-            params = unbox(params)
-            from ocr_system_tpu.core.checkpoint import maybe_load
+            def do_init(r):
+                return self.model.init(r, *example, train=False)
 
-            loaded = maybe_load(self.settings.extract_checkpoint, params)
-            if loaded is not None:
-                params = loaded
+            # eval_shape template (zero device work) -> orbax restore, with a
+            # single jit-compiled init only when no checkpoint exists (eager
+            # init costs minutes of per-op dispatch over the TPU tunnel)
+            abstract = unbox(jax.eval_shape(do_init, rng))
+            params = maybe_load(self.settings.extract_checkpoint, abstract)
+            if params is None:
+                params = unbox(jax.jit(do_init)(rng))
         self.variables = params
         self._fwd = None
         self._fallback = RuleExtractor()

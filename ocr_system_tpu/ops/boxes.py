@@ -47,6 +47,28 @@ def _label_components(binary: np.ndarray) -> tuple[np.ndarray, int]:
         return lab.astype(np.int32), int(n)
 
 
+def _row_extremes(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Reduce a filled component's pixels to per-row (min_x, max_x) boundary
+    points. The convex hull of a row-filled region equals the hull of its
+    row extremes, so this is lossless for min_area_rect — and it shrinks the
+    hull input from O(area) to O(height), which is what makes host box
+    extraction fast (the Python monotone-chain loop was the detection
+    stage's dominant cost at ~0.7 s/page before this reduction)."""
+    order = np.argsort(ys, kind="stable")
+    ys_s, xs_s = ys[order], xs[order]
+    # first/last index of each row in the sorted arrays
+    uniq, starts = np.unique(ys_s, return_index=True)
+    ends = np.append(starts[1:], len(ys_s))
+    mins = np.minimum.reduceat(xs_s, starts)
+    maxs = np.maximum.reduceat(xs_s, starts)
+    pts = np.empty((2 * len(uniq), 2), np.int64)
+    pts[0::2, 0] = mins
+    pts[0::2, 1] = uniq
+    pts[1::2, 0] = maxs
+    pts[1::2, 1] = uniq
+    return pts
+
+
 def _convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain. points: (N, 2) -> hull (M, 2) CCW."""
     pts = np.unique(points, axis=0)
@@ -189,7 +211,7 @@ def boxes_from_prob_map(
         s, e = starts[comp - 1], ends[comp - 1]
         if e <= s:
             continue
-        pts = np.stack([xs[s:e], ys[s:e]], axis=1)
+        pts = _row_extremes(xs[s:e], ys[s:e])
         quad, w, h = min_area_rect(pts)
         if min(w, h) < min_size and max(w, h) < min_size * 3:
             continue

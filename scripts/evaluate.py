@@ -15,6 +15,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from ocr_system_tpu.core.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 def main() -> None:
     p = argparse.ArgumentParser()

@@ -22,6 +22,10 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
 logger = logging.getLogger("train")
 
+from ocr_system_tpu.core.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 def _resume_state(path: str, model, optimizer, example_init):
     """Load params/batch_stats from a checkpoint into a fresh TrainState."""

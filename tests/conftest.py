@@ -26,6 +26,12 @@ from jax._src import xla_bridge as _xb  # noqa: E402
 if _xb._backends:
     _xb._clear_backends()
 
+# Persistent compilation cache: the 8-dev CPU mesh compiles (train steps run
+# ~3 min on this 1-core host) are paid once per machine, not per test run.
+from ocr_system_tpu.core.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
