@@ -80,7 +80,8 @@ class Settings(BaseModel):
     confidence_threshold_medium: float = 0.60
 
     # --- extraction (replaces Gemini config, reference: config.py:52-62) ---
-    extraction_method: str = "rules"  # "rules" | "layout_model"
+    # "auto": layout_model when checkpoints/extract exists, else rules
+    extraction_method: str = "auto"  # "auto" | "rules" | "layout_model"
     extraction_max_retries: int = 3
     extraction_timeout_s: float = 600.0  # whole-document budget
     # (reference: 120 s/image, 600 s/PDF timeouts, ocr_service.py:670,684)

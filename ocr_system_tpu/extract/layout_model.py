@@ -83,17 +83,42 @@ def tokenize_layout(
     return out_ids, out_boxes, out_mask, word_of[:n]
 
 
+def _span_pair_cost(kb: np.ndarray, vb: np.ndarray) -> float:
+    """Geometric cost of pairing a key span box with a value span box (both
+    [x0, y0, x1, y1] in quantized page coords). Real form geometries:
+    same box (inline 'Key: Value'), key left of value on the same row, or
+    key directly above the value."""
+    ky = (kb[1] + kb[3]) / 2.0
+    vy = (vb[1] + vb[3]) / 2.0
+    kh = max(kb[3] - kb[1], 1.0)
+    vh = max(vb[3] - vb[1], 1.0)
+    if np.allclose(kb, vb):
+        return 0.0  # inline: shared element box
+    same_row = abs(ky - vy) < 0.7 * max(kh, vh)
+    if same_row and kb[2] <= vb[0] + 0.5 * kh:
+        return max(float(vb[0] - kb[2]), 0.0)  # horizontal gap
+    x_overlap = min(kb[2], vb[2]) - max(kb[0], vb[0])
+    if x_overlap > 0 and kb[3] <= vb[1] + 0.5 * vh:
+        gap = max(float(vb[1] - kb[3]), 0.0)
+        return 1.5 * gap + 0.2 * abs(float(kb[0] - vb[0])) + 1.0
+    return float("inf")
+
+
 def decode_tags(
     tag_ids: np.ndarray,
     type_ids: np.ndarray,
     conf: np.ndarray,
     tokens_text: str,
-    word_of: list[int],
+    boxes: np.ndarray,
     n_valid: int,
 ) -> list[ExtractedField]:
-    """BIO spans -> (key, value) fields. Key spans pair with the next value
-    span (reading order); orphan values become fields with empty keys."""
-    spans: list[tuple[str, str, float, str]] = []  # (kind, text, conf, ftype)
+    """BIO spans -> (key, value) fields.
+
+    Values pair with keys GEOMETRICALLY (same element box, left-of on the
+    same row, or directly above) rather than by token adjacency — two-column
+    forms interleave key/value spans in reading order, so adjacency pairing
+    crosses columns. Orphan values become fields with empty keys."""
+    spans: list[tuple[str, str, float, str, np.ndarray]] = []
     i = 0
     while i < n_valid:
         t = tag_ids[i]
@@ -107,38 +132,61 @@ def decode_tags(
             span_conf = float(np.mean(conf[i:j])) if j > i else 0.0
             types, counts = np.unique(type_ids[i:j], return_counts=True)
             ftype = FIELD_TYPES[int(types[np.argmax(counts)])]
+            span_box = np.array(
+                [
+                    boxes[i:j, 0].min(), boxes[i:j, 1].min(),
+                    boxes[i:j, 2].max(), boxes[i:j, 3].max(),
+                ],
+                np.float32,
+            )
             if text:
-                spans.append((kind, text, span_conf, ftype))
+                spans.append((kind, text, span_conf, ftype, span_box))
             i = j
         else:
             i += 1
 
+    keys = [s for s in spans if s[0] == "key"]
+    values = [s for s in spans if s[0] == "value"]
+
+    # greedy min-cost assignment (few spans per page; O(K*V) is fine)
+    costs = [
+        (_span_pair_cost(k[4], v[4]), ki, vi)
+        for ki, k in enumerate(keys)
+        for vi, v in enumerate(values)
+    ]
+    costs.sort(key=lambda c: c[0])
+    key_of_value: dict[int, int] = {}
+    used_keys: set[int] = set()
+    for cost, ki, vi in costs:
+        if cost == float("inf"):
+            break
+        if ki in used_keys or vi in key_of_value:
+            continue
+        key_of_value[vi] = ki
+        used_keys.add(ki)
+
     fields: list[ExtractedField] = []
-    pending_key: tuple[str, float] | None = None
-    for kind, text, c, ftype in spans:
-        if kind == "key":
-            pending_key = (text, c)
+    for vi, (_, text, c, ftype, _vb) in enumerate(values):
+        ki = key_of_value.get(vi)
+        if ki is not None:
+            _, ktext, kc, _, _ = keys[ki]
+            fields.append(
+                ExtractedField(
+                    field_key=ktext.rstrip(":").strip(),
+                    field_value=text,
+                    field_type=ftype,
+                    confidence=round(min(kc, c), 4),
+                )
+            )
         else:
-            if pending_key is not None:
-                k, kc = pending_key
-                fields.append(
-                    ExtractedField(
-                        field_key=k,
-                        field_value=text,
-                        field_type=ftype,
-                        confidence=round(min(kc, c), 4),
-                    )
+            fields.append(
+                ExtractedField(
+                    field_key="",
+                    field_value=text,
+                    field_type=ftype,
+                    confidence=round(c, 4),
                 )
-                pending_key = None
-            else:
-                fields.append(
-                    ExtractedField(
-                        field_key="",
-                        field_value=text,
-                        field_type=ftype,
-                        confidence=round(c, 4),
-                    )
-                )
+            )
     return fields
 
 
@@ -222,16 +270,30 @@ class LayoutModelExtractor:
                 fields=[], success=True,
                 processing_time_ms=int((time.perf_counter() - t0) * 1000),
             )
+        # length buckets: pad to the smallest power-of-two window instead of
+        # always max_len — attention is O(L^2), so a typical 1-page form
+        # (300-800 tokens) costs 1/16th of the full 2048 window and each
+        # bucket compiles once (persistent cache)
+        bucket = 256
+        while bucket < n_valid:
+            bucket *= 2
+        bucket = min(bucket, self.max_len)
         out = self._forward()(
-            jnp.asarray(ids[None]), jnp.asarray(boxes[None]), jnp.asarray(mask[None])
+            jnp.asarray(ids[None, :bucket]),
+            jnp.asarray(boxes[None, :bucket]),
+            jnp.asarray(mask[None, :bucket]),
         )
         tag_ids = np.asarray(jnp.argmax(out["tag_logits"][0], -1))
         type_ids = np.asarray(jnp.argmax(out["type_logits"][0], -1))
         conf = np.asarray(out["confidence"][0])
         form_idx = int(jnp.argmax(out["form_logits"][0]))
-        tokens_text = self.charset.decode(ids[:n_valid])
+        # positional decode: unknown ids become spaces (charset.decode drops
+        # them, which would misalign span indices into tokens_text)
+        tokens_text = "".join(
+            self.charset.id_to_char(int(i)) or " " for i in ids[:n_valid]
+        )
 
-        fields = decode_tags(tag_ids, type_ids, conf, tokens_text, word_of, n_valid)
+        fields = decode_tags(tag_ids, type_ids, conf, tokens_text, boxes, n_valid)
 
         # retry-then-fallback contract (see module docstring): an untrained /
         # unconfident model yields nothing -> rule tier guarantees output.
@@ -304,8 +366,26 @@ class LayoutModelExtractor:
 
 
 def get_extractor(settings: Settings | None = None):
-    """Extraction-method dispatch (reference: config-driven engine select)."""
+    """Extraction-method dispatch (reference: config-driven engine select).
+
+    'auto' (the default) serves the trained layout model when its checkpoint
+    exists and falls back to the rule tier otherwise — a fresh clone without
+    weights still extracts, and shipping checkpoints/extract upgrades the
+    default path to the neural tier."""
+    from pathlib import Path as _P
+
     s = settings or get_settings()
-    if s.extraction_method == "layout_model":
+    method = s.extraction_method
+    if method == "auto":
+        ckpt = s.extract_checkpoint or str(
+            _P(__file__).resolve().parents[2] / "checkpoints" / "extract"
+        )
+        if _P(ckpt).is_dir():
+            if s.extract_checkpoint != ckpt:
+                s = s.model_copy(update={"extract_checkpoint": ckpt})
+            method = "layout_model"
+        else:
+            method = "rules"
+    if method == "layout_model":
         return LayoutModelExtractor(s)
     return RuleExtractor()

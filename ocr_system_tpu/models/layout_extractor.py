@@ -99,9 +99,15 @@ class LayoutExtractor(nn.Module):
     policy: DTypePolicy = default_policy()
 
     @nn.compact
-    def __call__(self, token_ids, boxes, mask, train: bool = False):
+    def __call__(
+        self, token_ids, boxes, mask, train: bool = False, pos_offset=None
+    ):
         """token_ids: (B, L) int32; boxes: (B, L, 4) int32 in [0, 1024)
         (x0, y0, x1, y1 quantized); mask: (B, L) bool/int 1=valid.
+        pos_offset: optional (B,) int32 — position-embedding window start per
+        sample. Training slides random windows over the full max_len table so
+        every serving position gets gradient even though training sequences
+        are shorter than max_len; serving omits it (offset 0).
 
         Returns dict: tag_logits (B, L, NUM_TAGS), type_logits (B, L,
         NUM_FIELD_TYPES), form_logits (B, NUM_FORM_TYPES), confidence
@@ -135,7 +141,15 @@ class LayoutExtractor(nn.Module):
             (1, self.max_len, self.dim),
             pt,
         )
-        x = x + pos[:, : x.shape[1]].astype(dt)
+        if pos_offset is None:
+            x = x + pos[:, : x.shape[1]].astype(dt)
+        else:
+            windows = jax.vmap(
+                lambda off: jax.lax.dynamic_slice_in_dim(
+                    pos[0], off, x.shape[1], axis=0
+                )
+            )(pos_offset)
+            x = x + windows.astype(dt)
 
         for i in range(self.depth):
             x = Block(self.dim, self.heads, policy=self.policy, name=f"block{i}")(

@@ -1,0 +1,727 @@
+"""Structured synthetic form generator.
+
+The reference outsources extraction quality to Gemini
+(gemini_service.py:235-364) and has no training data at all; the TPU rebuild
+owns a local extraction model, and this module is its data engine. It
+generates form SPECS — texts + boxes + roles + field types + a form-type
+label — that serve three consumers:
+
+  1. layout-extractor training tokens (`spec_to_tokens`): no pixel rendering
+     needed, so fresh data streams at ~1000 pages/s on the 1-core host
+     instead of ~1 page/s for full renders,
+  2. detector training pages (`render_spec`): far more layout diversity than
+     training/synth.render_page (two-column forms, separated key/value
+     boxes, tables with ruled lines, titles, footers),
+  3. extraction evaluation (`spec_to_word_boxes` + `spec_ocr_text` +
+     ground-truth pairs) with OCR-noise injection — the honest benchmark the
+     round-1 "F1 1.00 on clean colon-separated docs" eval was not.
+
+The crucial property: a configurable fraction of key/value pairs is laid out
+in SEPARATE boxes with no ":" separator (same-row or stacked), exactly the
+geometry real forms use. A text-only rule tier cannot recover those pairs;
+a layout-aware model can — this is what makes the neural tier earn its keep.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ocr_system_tpu.models.charsets import Charset
+
+# must match models/layout_extractor.py
+_TAG_O, _TAG_BK, _TAG_IK, _TAG_BV, _TAG_IV = range(5)
+
+
+@dataclass
+class Element:
+    """One drawable text run on the page."""
+
+    text: str
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+    role: str  # "key" | "value" | "kv" (inline "Key: Value") | "other"
+    field_type: str = "text"
+    pair_id: int = -1
+    font_size: int = 18
+    bold: bool = False
+
+
+@dataclass
+class FormSpec:
+    size: int
+    elements: list[Element]
+    form_type: str
+    # ground truth: (key, value, field_type) — key WITHOUT trailing ':'
+    pairs: list[tuple[str, str, str]] = field(default_factory=list)
+    table_lines: list[tuple[float, float, float, float]] = field(
+        default_factory=list
+    )  # ruled lines (x0, y0, x1, y1) to draw
+
+
+# ---------------------------------------------------------------- content
+
+_FIRST = ("John Mary Wei Priya Carlos Anna Leila Tom Grace Raj Maria Ahmed "
+          "Sofia Ivan Nina Pedro Alice Omar Jane Hans").split()
+_LAST = ("Smith Garcia Chen Patel Johnson Brown Silva Khan Mueller Rossi "
+         "Tanaka Novak Costa Dubois Larsen Olsen Kim Das Reyes Wong").split()
+_STREETS = ["Main Street", "Oak Avenue", "Park Road", "Elm Drive",
+            "Lake View", "Hill Crescent", "Station Road", "Market Square"]
+_CITIES = ("Springfield Riverton Fairview Georgetown Arlington Clinton "
+           "Salem Madison Dover Jackson").split()
+_STATES = "IL CA NY TX WA OR FL OH MI GA".split()
+_WORDS = ("service agreement payment delivery quality standard annual "
+          "monthly request approved pending general office support item "
+          "product notes remarks additional important required optional").split()
+_COMPANIES = ("Acme Corp;Global Services Ltd;Nimbus Industries;"
+              "Vertex Solutions;Orion Supplies Inc;Cedar & Stone LLC").split(";")
+
+
+def _gen_name(r: random.Random) -> str:
+    return f"{r.choice(_FIRST)} {r.choice(_LAST)}"
+
+
+def _gen_email(r: random.Random) -> str:
+    user = r.choice(_FIRST).lower()
+    if r.random() < 0.5:
+        user += f".{r.choice(_LAST).lower()}"
+    dom = r.choice(["example.com", "acme.com", "mail.org", "corp.net"])
+    return f"{user}@{dom}"
+
+
+def _gen_phone(r: random.Random) -> str:
+    a, b, c = r.randint(200, 999), r.randint(100, 999), r.randint(1000, 9999)
+    return r.choice(
+        [f"({a}) {b}-{c}", f"{a}-{b}-{c}", f"+1 {a} {b} {c}", f"{a}.{b}.{c}"]
+    )
+
+
+def _gen_date(r: random.Random) -> str:
+    d, m, y = r.randint(1, 28), r.randint(1, 12), r.randint(1990, 2030)
+    months = ("Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec").split()
+    return r.choice(
+        [
+            f"{d:02d}/{m:02d}/{y}",
+            f"{y}-{m:02d}-{d:02d}",
+            f"{m:02d}-{d:02d}-{y}",
+            f"{months[m - 1]} {d}, {y}",
+        ]
+    )
+
+
+def _gen_currency(r: random.Random) -> str:
+    if r.random() < 0.3:
+        return f"${r.randint(1, 999)}.{r.randint(0, 99):02d}"
+    return f"${r.randint(1000, 99999):,}.{r.randint(0, 99):02d}"
+
+
+def _gen_number(r: random.Random) -> str:
+    if r.random() < 0.4:
+        return str(r.randint(1, 999999))
+    prefix = r.choice(["INV-", "PO-", "REF-", "ID ", ""])
+    return f"{prefix}{r.randint(2020, 2030)}-{r.randint(1, 9999):04d}"
+
+
+def _gen_address(r: random.Random) -> str:
+    return (
+        f"{r.randint(1, 9999)} {r.choice(_STREETS)}, "
+        f"{r.choice(_CITIES)}, {r.choice(_STATES)} {r.randint(10000, 99999)}"
+    )
+
+
+def _gen_checkbox(r: random.Random) -> str:
+    return r.choice(["Yes", "No", "X", "[x]", "checked", "N/A"])
+
+
+def _gen_signature(r: random.Random) -> str:
+    return _gen_name(r)
+
+
+def _gen_text(r: random.Random) -> str:
+    return " ".join(r.choice(_WORDS) for _ in range(r.randint(1, 3)))
+
+
+_VALUE_GEN = {
+    "name": _gen_name,
+    "email": _gen_email,
+    "phone": _gen_phone,
+    "date": _gen_date,
+    "currency": _gen_currency,
+    "number": _gen_number,
+    "address": _gen_address,
+    "checkbox": _gen_checkbox,
+    "signature": _gen_signature,
+    "text": _gen_text,
+}
+
+# (title pool, field pool) per form type; titles carry the keywords
+# extract/rules.infer_form_type matches, so both tiers can classify
+_FORM_CONTENT: dict[str, tuple[list[str], list[tuple[str, str]]]] = {
+    "Invoice": (
+        ["INVOICE", "Tax Invoice", "Invoice Statement"],
+        [
+            ("Invoice Number", "number"), ("Invoice Date", "date"),
+            ("Due Date", "date"), ("Vendor", "name"), ("Customer", "name"),
+            ("Subtotal", "currency"), ("Tax", "currency"),
+            ("Total Amount", "currency"), ("Payment Method", "text"),
+            ("Email", "email"), ("Phone", "phone"),
+            ("Billing Address", "address"),
+        ],
+    ),
+    "Receipt": (
+        ["RECEIPT", "Payment Receipt", "Sales Receipt"],
+        [
+            ("Receipt Number", "number"), ("Date", "date"),
+            ("Cashier", "name"), ("Amount Paid", "currency"),
+            ("Change", "currency"), ("Payment Method", "text"),
+            ("Store Phone", "phone"),
+        ],
+    ),
+    "Application Form": (
+        ["Job Application Form", "Membership Application", "APPLICATION FORM"],
+        [
+            ("Full Name", "name"), ("Date of Birth", "date"),
+            ("Email", "email"), ("Phone Number", "phone"),
+            ("Address", "address"), ("Position", "text"),
+            ("Signature", "signature"), ("Date", "date"),
+            ("Referred By", "name"),
+        ],
+    ),
+    "Medical Form": (
+        ["Patient Intake Form", "Medical History Form", "Clinic Registration"],
+        [
+            ("Patient Name", "name"), ("Date of Birth", "date"),
+            ("Insurance ID", "number"), ("Physician", "name"),
+            ("Allergies", "text"), ("Blood Type", "text"),
+            ("Emergency Contact", "phone"), ("Visit Date", "date"),
+        ],
+    ),
+    "Survey": (
+        ["Customer Survey", "Feedback Questionnaire", "Satisfaction Survey"],
+        [
+            ("Respondent", "name"), ("Date", "date"),
+            ("Satisfied", "checkbox"), ("Would Recommend", "checkbox"),
+            ("Comments", "text"), ("Contact Email", "email"),
+        ],
+    ),
+    "Purchase Order": (
+        ["PURCHASE ORDER", "P.O. Form"],
+        [
+            ("PO Number", "number"), ("Order Date", "date"),
+            ("Supplier", "name"), ("Ship To", "address"),
+            ("Total", "currency"), ("Approved By", "name"),
+            ("Delivery Date", "date"),
+        ],
+    ),
+    "Tax Form": (
+        ["Tax Return Form", "VAT Declaration", "Income Tax Worksheet"],
+        [
+            ("Tax Year", "number"), ("Taxpayer Name", "name"),
+            ("Filing Status", "text"), ("Gross Income", "currency"),
+            ("Deductions", "currency"), ("Tax Due", "currency"),
+            ("Signature", "signature"),
+        ],
+    ),
+    "Contract": (
+        ["Service Contract", "Lease Agreement", "Employment Contract"],
+        [
+            ("Party A", "name"), ("Party B", "name"),
+            ("Effective Date", "date"), ("Term", "text"),
+            ("Monthly Fee", "currency"), ("Signature", "signature"),
+            ("Witness", "name"),
+        ],
+    ),
+    "Unknown": (
+        ["General Form", "Information Sheet", "Data Record"],
+        [
+            ("Name", "name"), ("Date", "date"), ("Email", "email"),
+            ("Phone", "phone"), ("Reference", "number"),
+            ("Amount", "currency"), ("City", "text"), ("Notes", "text"),
+        ],
+    ),
+}
+
+FORM_TYPE_NAMES = tuple(_FORM_CONTENT)
+
+
+# ---------------------------------------------------------------- generator
+
+
+class FormGenerator:
+    """Randomized form-spec generator with layout-style mixtures."""
+
+    def __init__(self, seed: int = 0, colon_fraction: float = 0.4):
+        self.rng = random.Random(seed)
+        # fraction of separated key boxes that still carry a ':' suffix
+        # (those merge into rules-parseable lines; the rest are the
+        # geometry-only cases where the layout model must win)
+        self.colon_fraction = colon_fraction
+
+    def generate(self, size: int = 960) -> FormSpec:
+        r = self.rng
+        form_type = r.choice(FORM_TYPE_NAMES)
+        titles, field_pool = _FORM_CONTENT[form_type]
+        margin = max(int(size * 0.04), 16)
+        char_w = 0.58  # DejaVu average advance / font size
+        elements: list[Element] = []
+        pairs: list[tuple[str, str, str]] = []
+        table_lines: list[tuple[float, float, float, float]] = []
+
+        def em(text, x, y, fs, role, ftype="text", pair_id=-1, bold=False):
+            w = max(len(text) * char_w * fs, fs * 0.6)
+            elements.append(
+                Element(text, x, y, x + w, y + fs * 1.25, role, ftype,
+                        pair_id, fs, bold)
+            )
+            return elements[-1]
+
+        y = margin + r.randint(0, size // 20)
+
+        # title
+        tfs = r.randint(size // 40, size // 26)
+        title = r.choice(titles)
+        tx = margin if r.random() < 0.5 else size // 2 - int(
+            len(title) * char_w * tfs / 2
+        )
+        em(title, max(tx, margin), y, tfs, "other", bold=True)
+        y += int(tfs * 2.0)
+
+        # fields
+        n_fields = r.randint(4, min(9, len(field_pool)))
+        chosen = r.sample(field_pool, n_fields)
+        fs = r.randint(max(size // 64, 12), max(size // 44, 16))
+        two_col = r.random() < 0.4 and size >= 640
+        col_w = (size - 2 * margin - (30 if two_col else 0)) // (
+            2 if two_col else 1
+        )
+        cols_y = [y, y] if two_col else [y]
+        row_gap = int(fs * r.uniform(1.1, 2.2))
+
+        for slot, (key, ftype) in enumerate(chosen):
+            value = _VALUE_GEN[ftype](r)
+            col = slot % len(cols_y)
+            x = margin + col * (col_w + 30)
+            cy = cols_y[col]
+            if cy > size - margin - 3 * fs:
+                continue  # page full
+            pid = len(pairs)  # pair_id == index into spec.pairs
+            style = r.random()
+            if style < 0.35:
+                # inline "Key: Value" in one box
+                em(f"{key}: {value}", x, cy, fs, "kv", ftype, pid)
+                cols_y[col] = cy + fs + row_gap
+            elif style < 0.75:
+                # key box + value box on the same row (the rules-hard case)
+                ktext = key + (":" if r.random() < self.colon_fraction else "")
+                ke = em(ktext, x, cy, fs, "key", ftype, pid)
+                gap = r.randint(int(fs * 0.8), int(fs * 4))
+                vx = min(ke.x1 + gap, size - margin - len(value) * char_w * fs)
+                em(value, max(vx, ke.x1 + 4), cy, fs, "value", ftype, pid)
+                cols_y[col] = cy + fs + row_gap
+            else:
+                # key above, value below
+                ktext = key + (":" if r.random() < self.colon_fraction else "")
+                em(ktext, x, cy, fs, "key", ftype, pid)
+                vy = cy + int(fs * 1.4)
+                em(value, x + r.randint(0, fs), vy, fs, "value", ftype, pid)
+                cols_y[col] = vy + fs + row_gap
+            pairs.append((key, value, ftype))
+
+        y = max(cols_y)
+
+        # optional table (role "other" — exercised by extract/tables.py, and
+        # detector diversity; not part of the KV ground truth)
+        if r.random() < 0.35 and y < size - margin - 6 * fs:
+            n_rows, n_cols = r.randint(2, 4), r.randint(2, 4)
+            tw = size - 2 * margin
+            cw = tw // n_cols
+            row_h = int(fs * 1.6)
+            headers = r.sample(
+                ["Item", "Qty", "Price", "Total", "Code", "Desc"], n_cols
+            )
+            ty = y + fs
+            n_fit = min(
+                n_rows + 1, max((size - margin - fs - ty) // row_h, 0)
+            )
+            for ri in range(n_fit):
+                ry = ty + ri * row_h
+                for ci in range(n_cols):
+                    cellx = margin + ci * cw + 4
+                    if ri == 0:
+                        em(headers[ci], cellx, ry, fs, "other", bold=True)
+                    else:
+                        gen = _VALUE_GEN[
+                            "currency" if headers[ci] in ("Price", "Total")
+                            else "number" if headers[ci] in ("Qty", "Code")
+                            else "text"
+                        ]
+                        em(gen(r), cellx, ry, fs, "other")
+            last_ry = ty + n_fit * row_h
+            if n_fit and r.random() < 0.7:  # ruled grid
+                for ri2 in range(n_fit + 1):
+                    ly = ty + ri2 * row_h - 2
+                    table_lines.append((margin, ly, margin + tw, ly))
+                for ci2 in range(n_cols + 1):
+                    table_lines.append(
+                        (margin + ci2 * cw, ty - 2, margin + ci2 * cw, last_ry - 2)
+                    )
+            y = last_ry + int(fs * 1.5)
+
+        # footer / noise lines
+        if r.random() < 0.5:
+            em("Page 1 of 1", size // 2 - 3 * fs, size - margin - fs,
+               max(fs - 4, 10), "other")
+        if r.random() < 0.4 and y < size - margin - 3 * fs:
+            em(" ".join(r.choice(_WORDS) for _ in range(r.randint(4, 9))),
+               margin, y + fs, max(fs - 2, 10), "other")
+
+        return FormSpec(
+            size=size, elements=elements, form_type=form_type,
+            pairs=pairs, table_lines=table_lines,
+        )
+
+
+# ------------------------------------------------------------- OCR noise
+
+# visually-plausible OCR confusions (both directions)
+_CONFUSIONS = {
+    "O": "0", "0": "O", "l": "1", "1": "l", "I": "l", "S": "5", "5": "S",
+    "B": "8", "8": "B", "Z": "2", "2": "Z", "g": "9", "m": "n", "n": "m",
+    "e": "c", "c": "e", "a": "o", "o": "a", "t": "f", "u": "v", "v": "u",
+    ".": ",", ",": ".", ":": ";",
+}
+
+
+def noisy_chars(text: str, rng: random.Random, rate: float):
+    """Yield (char, is_first_of_original_char) with substitution/deletion/
+    insertion noise at `rate`. Emission-based so span tags stay aligned."""
+    first = True
+    for ch in text:
+        roll = rng.random()
+        if roll < rate * 0.2:
+            continue  # deletion
+        if roll < rate * 0.8:
+            ch = _CONFUSIONS.get(ch) or rng.choice("abcdefghij0123456789")
+        yield ch, first
+        first = False
+        if rng.random() < rate * 0.1:  # insertion
+            yield rng.choice(".,'- "), False
+
+
+def inject_ocr_noise(text: str, rng: random.Random, rate: float) -> str:
+    if rate <= 0:
+        return text
+    return "".join(ch for ch, _ in noisy_chars(text, rng, rate))
+
+
+def noisy_spec(spec: FormSpec, rng: random.Random, rate: float) -> FormSpec:
+    """Return a copy of the spec with OCR noise applied to every element —
+    and ground-truth pairs REBUILT from the noisy texts. This is the honest
+    eval setup: the extractor is scored on recovering what the (imperfect)
+    OCR stage actually produced, isolating extraction quality from OCR
+    quality. For inline 'Key: Value' elements the separator is preserved so
+    the pair stays well-defined; key and value halves are noised separately.
+    """
+    elements: list[Element] = []
+    by_pair: dict[int, dict[str, str]] = {}
+    for e in spec.elements:
+        if e.role == "kv" and ":" in e.text:
+            key, _, value = e.text.partition(":")
+            nk = inject_ocr_noise(key, rng, rate)
+            nv = inject_ocr_noise(value.strip(), rng, rate)
+            text = f"{nk}: {nv}"
+            by_pair.setdefault(e.pair_id, {})["key"] = nk.strip()
+            by_pair[e.pair_id]["value"] = nv
+        else:
+            text = inject_ocr_noise(e.text, rng, rate)
+            if e.role == "key":
+                by_pair.setdefault(e.pair_id, {})["key"] = (
+                    text[:-1] if text.endswith(":") else text
+                ).strip()
+            elif e.role == "value":
+                by_pair.setdefault(e.pair_id, {})["value"] = text.strip()
+        elements.append(
+            Element(text, e.x0, e.y0, e.x1, e.y1, e.role, e.field_type,
+                    e.pair_id, e.font_size, e.bold)
+        )
+    pairs = []
+    for pid, (key, value, ftype) in enumerate(spec.pairs):
+        noisy = by_pair.get(pid, {})
+        pairs.append(
+            (noisy.get("key", key), noisy.get("value", value), ftype)
+        )
+    return FormSpec(
+        size=spec.size, elements=elements, form_type=spec.form_type,
+        pairs=pairs, table_lines=list(spec.table_lines),
+    )
+
+
+# ------------------------------------------------------- token conversion
+
+
+def _reading_order(elements: list[Element]) -> list[Element]:
+    """Row-cluster by y overlap then x — mirrors engine/reading_order.py."""
+    return sorted(elements, key=lambda e: (round(e.y0 / 14), e.x0))
+
+
+def _char_boxes(
+    text: str, x0: float, y0: float, x1: float, y1: float,
+    per_word: bool,
+) -> list[tuple[float, float, float, float]]:
+    """Box per character: either the whole run's box, or per-WORD boxes from
+    proportional slicing (spaces take the preceding word's box). Per-word
+    matches what serving sees — tokenize_layout assigns each OCR word box to
+    its characters — so training mixes both granularities."""
+    if not per_word:
+        return [(x0, y0, x1, y1)] * len(text)
+    out: list[tuple[float, float, float, float]] = []
+    total = max(len(text), 1)
+    span = (x1 - x0) / total
+    start = 0
+    for i, ch in enumerate(text + " "):
+        if ch == " ":
+            wx0 = x0 + span * start
+            wx1 = x0 + span * i
+            n = i - start
+            out.extend([(wx0, y0, wx1, y1)] * n)
+            if i < len(text):  # the space itself
+                out.append((wx0, y0, wx1, y1))
+            start = i + 1
+    return out[: len(text)]
+
+
+def spec_to_tokens(
+    spec: FormSpec,
+    charset: Charset,
+    max_len: int,
+    noise_rate: float = 0.0,
+    rng: random.Random | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """FormSpec -> layout-extractor training arrays.
+
+    Returns (ids, boxes, mask, tags, types, form_label). Char-level tokens
+    with quantized boxes (element-level or word-level granularity, mixed
+    randomly to match both detector output styles); BIO tags derive from the
+    element role. OCR noise (sub/del/ins) is applied emission-side so tags
+    stay aligned with the noisy stream — the model trains on the same
+    distortions the real OCR stage produces.
+    """
+    from ocr_system_tpu.models.layout_extractor import (
+        COORD_BUCKETS,
+        FIELD_TYPES,
+        FORM_TYPES,
+    )
+
+    rng = rng or random.Random(0)
+    type_index = {t: i for i, t in enumerate(FIELD_TYPES)}
+    form_label = (
+        FORM_TYPES.index(spec.form_type) if spec.form_type in FORM_TYPES else 0
+    )
+
+    ids = np.zeros((max_len,), np.int32)
+    boxes = np.zeros((max_len, 4), np.int32)
+    mask = np.zeros((max_len,), np.int32)
+    tags = np.zeros((max_len,), np.int32)
+    types = np.zeros((max_len,), np.int32)
+    pos = 0
+    f = COORD_BUCKETS - 1
+    s = spec.size
+
+    def quant(b):
+        return [
+            max(0, min(int(b[0] / s * f), f)),
+            max(0, min(int(b[1] / s * f), f)),
+            max(0, min(int(b[2] / s * f), f)),
+            max(0, min(int(b[3] / s * f), f)),
+        ]
+
+    def emit_span(text, b_tag, i_tag, ftype_id, cboxes):
+        """Emit one BIO span; cboxes is char-aligned. Noise is applied here:
+        substitutions keep the char's box, deletions drop the emission,
+        insertions reuse the current box."""
+        nonlocal pos
+        started = False
+        ci = 0
+        for orig_i, ch in enumerate(text):
+            roll = rng.random() if noise_rate > 0 else 1.0
+            emit: list[str] = []
+            if roll < noise_rate * 0.2:
+                pass  # deletion
+            elif roll < noise_rate * 0.8:
+                emit.append(_CONFUSIONS.get(ch) or rng.choice(
+                    "abcdefghij0123456789"))
+            else:
+                emit.append(ch)
+            if noise_rate > 0 and rng.random() < noise_rate * 0.1:
+                emit.append(rng.choice(".,'- "))
+            for ech in emit:
+                if pos >= max_len:
+                    return
+                ids[pos] = charset.char_to_id(ech)
+                boxes[pos] = quant(cboxes[min(orig_i, len(cboxes) - 1)])
+                mask[pos] = 1
+                tags[pos] = i_tag if started else b_tag
+                types[pos] = ftype_id
+                started = True
+                pos += 1
+            ci += 1
+
+    for e in _reading_order(spec.elements):
+        if pos >= max_len:
+            break
+        per_word = rng.random() < 0.5
+        cb = _char_boxes(e.text, e.x0, e.y0, e.x1, e.y1, per_word)
+        ftype_id = type_index.get(e.field_type, 0)
+        if e.role == "kv" and ":" in e.text:
+            k_len = e.text.index(":") + 1
+            emit_span(e.text[:k_len], _TAG_BK, _TAG_IK, 0, cb[:k_len])
+            emit_span(" ", _TAG_O, _TAG_O, 0, [cb[min(k_len, len(cb) - 1)]])
+            emit_span(
+                e.text[k_len:].strip(), _TAG_BV, _TAG_IV, ftype_id,
+                cb[k_len:] or cb[-1:],
+            )
+        elif e.role == "key":
+            emit_span(e.text, _TAG_BK, _TAG_IK, 0, cb)
+        elif e.role == "value":
+            emit_span(e.text, _TAG_BV, _TAG_IV, ftype_id, cb)
+        else:
+            emit_span(e.text, _TAG_O, _TAG_O, 0, cb)
+        if pos < max_len:  # inter-element separator
+            ids[pos] = charset.char_to_id(" ")
+            boxes[pos] = quant(cb[-1]) if cb else 0
+            mask[pos] = 1
+            pos += 1
+    return ids, boxes, mask, tags, types, form_label
+
+
+# ------------------------------------------------- eval / serving parity
+
+
+def spec_to_word_boxes(
+    spec: FormSpec,
+    noise_rate: float = 0.0,
+    rng: random.Random | None = None,
+) -> list[dict]:
+    """FormSpec -> engine-shaped word boxes ({content, polygon, confidence,
+    page_number}) in reading order, one box per word, with the element box
+    sliced proportionally — the same artifact engine/pipeline.py feeds the
+    extractor, letting extraction quality be measured without running OCR."""
+    rng = rng or random.Random(0)
+    out: list[dict] = []
+    for e in _reading_order(spec.elements):
+        words = e.text.split()
+        if not words:
+            continue
+        total = sum(len(w) for w in words) + len(words) - 1
+        xcur = e.x0
+        wspan = (e.x1 - e.x0) / max(total, 1)
+        for w in words:
+            w_noisy = inject_ocr_noise(w, rng, noise_rate)
+            x1 = xcur + wspan * len(w)
+            out.append(
+                {
+                    "type": "word",
+                    "content": w_noisy,
+                    "confidence": round(1.0 - noise_rate, 4),
+                    "polygon": [xcur, e.y0, x1, e.y0, x1, e.y1, xcur, e.y1],
+                    "page_number": 1,
+                }
+            )
+            xcur = x1 + wspan
+    return out
+
+
+def spec_ocr_text(
+    spec: FormSpec,
+    noise_rate: float = 0.0,
+    rng: random.Random | None = None,
+    row_tol: float = 10.0,
+) -> str:
+    """Reading-ordered line text (what the rules tier consumes): elements
+    row-clustered by y and joined with spaces, mirroring what
+    engine/reading_order.py would produce from the same boxes."""
+    rng = rng or random.Random(0)
+    rows: list[tuple[float, list[Element]]] = []
+    for e in sorted(spec.elements, key=lambda e: e.y0):
+        for ry, row in rows:
+            if abs(e.y0 - ry) <= row_tol:
+                row.append(e)
+                break
+        else:
+            rows.append((e.y0, [e]))
+    lines = []
+    for _, row in sorted(rows, key=lambda r: r[0]):
+        text = " ".join(e.text for e in sorted(row, key=lambda e: e.x0))
+        lines.append(inject_ocr_noise(text, rng, noise_rate))
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------- det rendering
+
+
+def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = True):
+    """Render a FormSpec to a detector PageSample (image + per-element quads
+    + DB targets). Element boxes are replaced by measured text bboxes so the
+    detection targets match the pixels exactly."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    from ocr_system_tpu.training.synth import discover_fonts, make_db_targets
+    from ocr_system_tpu.training import synth as S
+
+    r = random.Random(hash((len(spec.elements), spec.size, spec.form_type)) & 0xFFFF)
+    fonts = discover_fonts(font_dir)
+    size = spec.size
+    img = Image.new("L", (size, size), r.randint(235, 255))
+    d = ImageDraw.Draw(img)
+    cache: dict[tuple[str, int], ImageFont.FreeTypeFont] = {}
+
+    def font_for(e: Element) -> ImageFont.FreeTypeFont:
+        pool = [f for f in fonts if ("Bold" in f.name) == e.bold] or fonts
+        path = pool[hash((e.x0, e.y0)) % len(pool)]
+        key = (str(path), e.font_size)
+        if key not in cache:
+            cache[key] = ImageFont.truetype(str(path), e.font_size)
+        return cache[key]
+
+    for x0, y0, x1, y1 in spec.table_lines:
+        d.line([(x0, y0), (x1, y1)], fill=r.randint(60, 140), width=1)
+
+    quads, texts = [], []
+    for e in spec.elements:
+        f = font_for(e)
+        bbox = d.textbbox((e.x0, e.y0), e.text, font=f)
+        if bbox[2] >= size or bbox[3] >= size:
+            continue
+        d.text((e.x0, e.y0), e.text, fill=r.randint(0, 70), font=f)
+        e.x0, e.y0, e.x1, e.y1 = map(float, bbox)
+        quads.append(
+            np.array(
+                [[bbox[0], bbox[1]], [bbox[2], bbox[1]],
+                 [bbox[2], bbox[3]], [bbox[0], bbox[3]]], np.float32,
+            )
+        )
+        texts.append(e.text)
+
+    arr = np.asarray(img, np.float32) / 255.0
+    if augment and r.random() < 0.6:
+        arr = np.clip(
+            arr + np.random.default_rng(r.randrange(1 << 30)).normal(
+                0, r.uniform(0.01, 0.04), arr.shape
+            ).astype(np.float32),
+            0, 1,
+        )
+    quads_arr = np.stack(quads) if quads else np.zeros((0, 4, 2), np.float32)
+    shrink, smask, thresh, tmask = make_db_targets(size, quads_arr)
+    return S.PageSample(
+        image=np.stack([arr] * 3, axis=-1),
+        quads=quads_arr,
+        texts=texts,
+        shrink_map=shrink,
+        shrink_mask=smask,
+        thresh_map=thresh,
+        thresh_mask=tmask,
+    )

@@ -293,18 +293,26 @@ def make_layout_train_step(model, optimizer, mesh: Mesh):
             batch["boxes"],
             batch["mask"],
             train=True,
+            pos_offset=batch.get("pos_offset"),
         )
-        return extraction_loss(
+        loss = extraction_loss(
             out, batch["tags"], batch["types"], batch["form"], batch["mask"]
         )
+        m = batch["mask"].astype(jnp.float32)
+        tag_acc = jnp.sum(
+            (jnp.argmax(out["tag_logits"], -1) == batch["tags"]) * m
+        ) / jnp.maximum(jnp.sum(m), 1.0)
+        return loss, tag_acc
 
     def step(state: TrainState, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        (loss, tag_acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (
             TrainState(new_params, state.batch_stats, new_opt, state.step + 1),
-            {"loss": loss},
+            {"loss": loss, "tag_acc": tag_acc},
         )
 
     return jax.jit(step, donate_argnums=(0,))
@@ -329,9 +337,22 @@ def init_layout_state_sharded(
 
 def layout_batch_iterator(
     charset: Charset, batch_size: int, max_len: int = 512,
-    page_size: int = 640, seed: int = 0,
+    page_size: int = 960, seed: int = 0, noise_rate: float = 0.03,
+    pos_span: int = 2048,
 ) -> Iterator[dict]:
-    renderer = synth.TextRenderer(charset, seed=seed)
+    """Form-spec batches for the layout extractor: structured synthetic
+    forms (training/synth_forms.py) tokenized directly — no pixel rendering,
+    so fresh pages stream at ~200/s on the 1-core host and the model never
+    sees the same form twice. OCR noise is injected tag-aligned; pos_offset
+    slides each sample's position window so all pos_span serving positions
+    train (see LayoutExtractor.__call__)."""
+    import random as _random
+
+    from ocr_system_tpu.training import synth_forms as SF
+
+    gen = SF.FormGenerator(seed=seed)
+    rng = _random.Random(seed + 1)
+    max_off = max(pos_span - max_len, 0)
     while True:
         ids = np.zeros((batch_size, max_len), np.int32)
         boxes = np.zeros((batch_size, max_len, 4), np.int32)
@@ -339,14 +360,18 @@ def layout_batch_iterator(
         tags = np.zeros((batch_size, max_len), np.int32)
         types = np.zeros((batch_size, max_len), np.int32)
         form = np.zeros((batch_size,), np.int32)
+        pos_offset = np.zeros((batch_size,), np.int32)
         for i in range(batch_size):
-            page = renderer.render_page(size=page_size)
+            spec = gen.generate(page_size)
+            noise = rng.uniform(0, noise_rate * 2)  # clean..2x mean
             (
-                ids[i], boxes[i], mask[i], tags[i], types[i],
-            ) = synth.layout_page_to_tokens(page, charset, max_len, page_size)
+                ids[i], boxes[i], mask[i], tags[i], types[i], form[i],
+            ) = SF.spec_to_tokens(spec, charset, max_len, noise, rng)
+            pos_offset[i] = rng.randrange(max_off + 1)
         yield {
             "ids": ids, "boxes": boxes, "mask": mask,
             "tags": tags, "types": types, "form": form,
+            "pos_offset": pos_offset,
         }
 
 
@@ -431,6 +456,67 @@ def train_detector(
                 i + 1, np.mean(losses[-log_every:]), (i + 1) / (time.time() - t0),
             )
     return state, {"loss_first": losses[0], "loss_last": float(np.mean(losses[-5:]))}
+
+
+def train_layout(
+    steps: int = 200,
+    batch_size: int = 32,
+    max_len: int = 768,
+    page_size: int = 960,
+    charset_name: str = "multilingual",
+    noise_rate: float = 0.03,
+    lr: float = 3e-4,
+    mesh: Mesh | None = None,
+    policy: DTypePolicy | None = None,
+    log_every: int = 50,
+    seed: int = 0,
+    state: TrainState | None = None,
+) -> tuple[TrainState, dict]:
+    """Train the layout extractor (the local Gemini replacement,
+    gemini_service.py:235-364) on streamed synthetic form specs."""
+    from ocr_system_tpu.models.layout_extractor import LayoutExtractor
+
+    charset = get_charset(charset_name)
+    model = LayoutExtractor(
+        vocab_size=charset.size, policy=policy or default_policy()
+    )
+    if mesh is None:
+        from ocr_system_tpu.core.mesh import build_mesh
+
+        mesh = build_mesh("dp=-1,tp=1")
+    optimizer = make_optimizer(lr)
+    if state is None:
+        example_args = (
+            jnp.zeros((1, 16), jnp.int32),
+            jnp.zeros((1, 16, 4), jnp.int32),
+            jnp.ones((1, 16), jnp.int32),
+        )
+        state = init_layout_state_sharded(
+            model, optimizer, mesh, example_args, seed=seed
+        )
+    step_fn = make_layout_train_step(model, optimizer, mesh)
+    it = layout_batch_iterator(
+        charset, batch_size, max_len=max_len, page_size=page_size,
+        seed=seed, noise_rate=noise_rate, pos_span=model.max_len,
+    )
+    losses, accs = [], []
+    t0 = time.time()
+    for i in range(steps):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+        accs.append(float(metrics["tag_acc"]))
+        if log_every and (i + 1) % log_every == 0:
+            logger.info(
+                "layout step %d loss %.4f tag_acc %.4f (%.2f steps/s)",
+                i + 1, np.mean(losses[-log_every:]),
+                np.mean(accs[-log_every:]), (i + 1) / (time.time() - t0),
+            )
+    return state, {
+        "loss_first": losses[0],
+        "loss_last": float(np.mean(losses[-10:])),
+        "tag_acc_last": float(np.mean(accs[-10:])),
+    }
 
 
 def shd_default_mesh() -> Mesh:

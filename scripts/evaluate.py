@@ -31,6 +31,12 @@ def main() -> None:
         "--e2e", default="", help="run full-pipeline eval: 'classical' or 'jax'"
     )
     p.add_argument("--pages", type=int, default=10)
+    p.add_argument(
+        "--forms", type=int, default=0,
+        help="compare rules vs layout model on N noisy synthetic forms",
+    )
+    p.add_argument("--form-noise", type=float, default=0.03)
+    p.add_argument("--extract-checkpoint", default="checkpoints/extract")
     args = p.parse_args()
 
     from ocr_system_tpu.core.config import Settings
@@ -52,6 +58,43 @@ def main() -> None:
     rec = Recognizer(settings, charset=charset)
     rec_result = evaluate_recognizer(rec, charset, n_lines=args.lines)
     field_result = evaluate_field_extraction(RuleExtractor(), n_docs=args.docs)
+
+    forms_report = None
+    if args.forms:
+        from ocr_system_tpu.training.evaluate import evaluate_form_extraction
+
+        def _report(res):
+            return {
+                "precision": round(res.precision, 4),
+                "recall": round(res.recall, 4),
+                "f1": round(res.f1, 4),
+                "form_type_accuracy": round(res.form_type_accuracy, 4),
+            }
+
+        forms_report = {
+            "n_docs": args.forms,
+            "noise_rate": args.form_noise,
+            "rules": _report(
+                evaluate_form_extraction(
+                    RuleExtractor(), n_docs=args.forms,
+                    noise_rate=args.form_noise,
+                )
+            ),
+        }
+        if Path(args.extract_checkpoint).is_dir():
+            from ocr_system_tpu.extract.layout_model import LayoutModelExtractor
+
+            lm = LayoutModelExtractor(
+                Settings(
+                    extract_checkpoint=args.extract_checkpoint,
+                    storage_root="storage",
+                )
+            )
+            forms_report["layout_model"] = _report(
+                evaluate_form_extraction(
+                    lm, n_docs=args.forms, noise_rate=args.form_noise
+                )
+            )
 
     e2e_report = None
     if args.e2e:
@@ -102,6 +145,7 @@ def main() -> None:
                     "f1": round(field_result.f1, 4),
                     "n_docs": field_result.n_docs,
                 },
+                "form_extraction": forms_report,
                 "end_to_end": e2e_report,
             },
             indent=2,

@@ -122,13 +122,64 @@ def train_det(args) -> None:
     logger.info("saved %s", out)
 
 
+def train_layout(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ocr_system_tpu.core.checkpoint import maybe_load, save_checkpoint
+    from ocr_system_tpu.models.charsets import get_charset
+    from ocr_system_tpu.models.layout_extractor import LayoutExtractor
+    from ocr_system_tpu.parallel.sharding import unbox
+    from ocr_system_tpu.training import train as T
+
+    state = None
+    charset = get_charset(args.charset)
+    if getattr(args, "resume", None):
+        model = LayoutExtractor(vocab_size=charset.size)
+        opt = T.make_optimizer(args.lr)
+        example = (
+            jnp.zeros((1, 16), jnp.int32),
+            jnp.zeros((1, 16, 4), jnp.int32),
+            jnp.ones((1, 16), jnp.int32),
+        )
+        abstract = unbox(
+            jax.eval_shape(lambda r: model.init(r, *example, train=False),
+                           jax.random.PRNGKey(0))
+        )
+        loaded = maybe_load(args.resume, abstract)
+        if loaded is not None:
+            state = T.TrainState(
+                params=loaded["params"], batch_stats={},
+                opt_state=opt.init(loaded["params"]), step=0,
+            )
+            logger.info("resumed from %s", args.resume)
+
+    state, metrics = T.train_layout(
+        steps=args.steps,
+        batch_size=args.batch,
+        charset_name=args.charset,
+        noise_rate=args.noise,
+        lr=args.lr,
+        seed=args.seed,
+        state=state,
+    )
+    logger.info("layout metrics: %s", metrics)
+    out = Path(args.out or "checkpoints/extract")
+    save_checkpoint(out, {"params": state.params})
+    logger.info("saved %s", out)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("target", choices=["rec", "det", "all"])
+    p.add_argument("target", choices=["rec", "det", "layout", "all"])
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--charset", default="latin")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--noise", type=float, default=0.03,
+                   help="mean OCR-noise rate for layout training")
+    # default per target: rec/det -> latin, layout -> multilingual (must
+    # match LayoutModelExtractor's serving charset or param shapes diverge)
+    p.add_argument("--charset", default=None)
     p.add_argument("--rec-width", type=int, default=320)
     p.add_argument("--det-size", type=int, default=640)
     p.add_argument("--seed", type=int, default=0)
@@ -141,13 +192,25 @@ def main() -> None:
         a = argparse.Namespace(**vars(args))
         a.steps = args.steps or (30 if args.quick else 2000)
         a.batch = args.batch or (8 if args.quick else 64)
+        a.lr = args.lr or 1e-3
+        a.charset = args.charset or "latin"
         train_rec(a)
     if args.target in ("det", "all"):
         a = argparse.Namespace(**vars(args))
         a.steps = args.steps or (10 if args.quick else 600)
         a.batch = args.batch or (2 if args.quick else 8)
+        a.lr = args.lr or 1e-3
+        a.charset = args.charset or "latin"
         a.out = None
         train_det(a)
+    if args.target in ("layout", "all"):
+        a = argparse.Namespace(**vars(args))
+        a.steps = args.steps or (20 if args.quick else 4000)
+        a.batch = args.batch or (4 if args.quick else 32)
+        a.lr = args.lr or 3e-4
+        a.charset = args.charset or "multilingual"
+        a.out = args.out if args.target == "layout" else None
+        train_layout(a)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,7 @@ def settings(tmp_path_factory):
         rec_width_buckets=(80, 160),
         rec_batch_size=8,
         ocr_engine="fake",
+        extraction_method="rules",  # deterministic tier for service tests
         enable_deskew=False,
     )
 

@@ -1,0 +1,204 @@
+"""Structured form generator + layout-extraction decode tests."""
+
+import random
+
+import numpy as np
+import pytest
+
+from ocr_system_tpu.models.charsets import get_charset
+from ocr_system_tpu.training import synth_forms as SF
+
+
+@pytest.fixture(scope="module")
+def charset():
+    return get_charset("multilingual")
+
+
+@pytest.fixture(scope="module")
+def specs():
+    gen = SF.FormGenerator(seed=42)
+    return [gen.generate(960) for _ in range(30)]
+
+
+class TestGenerator:
+    def test_pair_ids_index_pairs(self, specs):
+        for spec in specs:
+            for e in spec.elements:
+                if e.role in ("key", "value", "kv"):
+                    assert 0 <= e.pair_id < len(spec.pairs)
+            # every pair has at least one value-bearing element
+            for pid, (k, v, t) in enumerate(spec.pairs):
+                roles = {e.role for e in spec.elements if e.pair_id == pid}
+                assert roles & {"kv", "value"}, (pid, roles)
+
+    def test_form_types_covered(self):
+        gen = SF.FormGenerator(seed=7)
+        seen = {gen.generate(960).form_type for _ in range(60)}
+        assert len(seen) >= 6  # most of the 9 types appear
+
+    def test_value_types_validate_cleanly(self, specs):
+        from ocr_system_tpu.service.validation import ValidationService
+
+        vs = ValidationService()
+        n = ok = 0
+        for spec in specs:
+            for k, v, t in spec.pairs:
+                if t in ("text", "signature", "checkbox"):
+                    continue
+                n += 1
+                r = vs.validate_field(v, t, confidence=0.95)
+                ok += bool(r.is_valid)
+        assert n > 20
+        assert ok / n > 0.9, f"only {ok}/{n} generated values validate"
+
+    def test_deterministic(self):
+        a = SF.FormGenerator(seed=5).generate(960)
+        b = SF.FormGenerator(seed=5).generate(960)
+        assert [e.text for e in a.elements] == [e.text for e in b.elements]
+        assert a.pairs == b.pairs
+
+
+class TestTokens:
+    def test_shapes_and_alignment(self, specs, charset):
+        ids, boxes, mask, tags, types, form = SF.spec_to_tokens(
+            specs[0], charset, 512
+        )
+        n = int(mask.sum())
+        assert ids.shape == (512,) and boxes.shape == (512, 4)
+        assert n > 50
+        # B tags start spans; an I tag never follows O of a different span
+        for i in range(1, n):
+            if tags[i] == 2:  # I-KEY
+                assert tags[i - 1] in (1, 2)
+            if tags[i] == 4:  # I-VAL
+                assert tags[i - 1] in (3, 4)
+
+    def test_value_spans_decode_back(self, specs, charset):
+        spec = specs[1]
+        ids, boxes, mask, tags, types, form = SF.spec_to_tokens(
+            spec, charset, 1024
+        )
+        n = int(mask.sum())
+        text = "".join(charset.id_to_char(int(i)) or " " for i in ids[:n])
+        # every ground-truth value that fits appears in the token stream
+        found = sum(1 for _, v, _ in spec.pairs if v in text)
+        assert found >= len(spec.pairs) - 1
+
+    def test_noise_keeps_tag_alignment(self, specs, charset):
+        rng = random.Random(3)
+        ids, boxes, mask, tags, types, form = SF.spec_to_tokens(
+            specs[2], charset, 512, noise_rate=0.15, rng=rng
+        )
+        n = int(mask.sum())
+        assert n > 50
+        for i in range(1, n):
+            if tags[i] == 2:
+                assert tags[i - 1] in (1, 2)
+            if tags[i] == 4:
+                assert tags[i - 1] in (3, 4)
+
+    def test_form_label_matches(self, specs, charset):
+        from ocr_system_tpu.models.layout_extractor import FORM_TYPES
+
+        for spec in specs[:5]:
+            *_, form = SF.spec_to_tokens(spec, charset, 256)
+            assert FORM_TYPES[form] == spec.form_type
+
+
+class TestNoisySpec:
+    def test_pairs_rebuilt_from_noisy_text(self, specs):
+        rng = random.Random(11)
+        noisy = SF.noisy_spec(specs[3], rng, rate=0.2)
+        assert len(noisy.pairs) == len(specs[3].pairs)
+        # ground truth equals what the noisy page shows
+        page_text = " ".join(e.text for e in noisy.elements)
+        for k, v, _ in noisy.pairs:
+            if v.strip():
+                assert v in page_text
+
+    def test_zero_rate_is_identity(self, specs):
+        rng = random.Random(1)
+        noisy = SF.noisy_spec(specs[4], rng, rate=0.0)
+        assert [e.text for e in noisy.elements] == [
+            e.text for e in specs[4].elements
+        ]
+        assert noisy.pairs == specs[4].pairs
+
+
+class TestWordBoxesAndText:
+    def test_word_boxes_shape(self, specs):
+        wb = SF.spec_to_word_boxes(specs[5])
+        assert wb and all(len(b["polygon"]) == 8 for b in wb)
+        assert all(b["content"] for b in wb)
+
+    def test_ocr_text_contains_lines(self, specs):
+        text = SF.spec_ocr_text(specs[5])
+        assert len(text.splitlines()) >= 4
+
+
+class TestRender:
+    def test_render_spec_targets(self):
+        spec = SF.FormGenerator(seed=9).generate(512)
+        ps = SF.render_spec(spec)
+        assert ps.image.shape == (512, 512, 3)
+        assert len(ps.quads) == len(ps.texts) > 0
+        assert ps.shrink_map.max() == 1.0
+        assert 0.0 <= ps.thresh_map.max() <= 1.0
+
+
+class TestGeometricPairing:
+    def test_two_column_interleave(self):
+        """keyA keyB valueA valueB in reading order must pair by geometry,
+        not adjacency."""
+        from ocr_system_tpu.extract.layout_model import decode_tags
+
+        # token stream: A(key col1) B(key col2) 1(val col1) 2(val col2)
+        text = "AB12"
+        tags = np.array([1, 1, 3, 3])  # B-KEY B-KEY B-VAL B-VAL
+        types = np.zeros(4, np.int64)
+        conf = np.full(4, 0.9)
+        boxes = np.array(
+            [
+                [10, 10, 60, 20],  # key A, col 1
+                [500, 10, 560, 20],  # key B, col 2
+                [80, 10, 120, 20],  # val 1, right of A
+                [580, 10, 620, 20],  # val 2, right of B
+            ],
+            np.float32,
+        )
+        fields = decode_tags(tags, types, conf, text, boxes, 4)
+        got = {f.field_key: f.field_value for f in fields}
+        assert got == {"A": "1", "B": "2"}
+
+    def test_stacked_pairing(self):
+        from ocr_system_tpu.extract.layout_model import decode_tags
+
+        text = "K1V1"
+        tags = np.array([1, 2, 3, 4])
+        types = np.zeros(4, np.int64)
+        conf = np.full(4, 0.9)
+        boxes = np.array(
+            [
+                [100, 100, 160, 115],
+                [100, 100, 160, 115],
+                [100, 125, 150, 140],  # value directly below
+                [100, 125, 150, 140],
+            ],
+            np.float32,
+        )
+        fields = decode_tags(tags, types, conf, text, boxes, 4)
+        assert fields and fields[0].field_key == "K1"
+        assert fields[0].field_value == "V1"
+
+
+class TestFormEvalHarness:
+    def test_rules_baseline_runs(self):
+        from ocr_system_tpu.extract.rules import RuleExtractor
+        from ocr_system_tpu.training.evaluate import evaluate_form_extraction
+
+        res = evaluate_form_extraction(
+            RuleExtractor(), n_docs=8, noise_rate=0.0
+        )
+        # rules catch the inline-colon cases but miss geometry-only pairs
+        assert 0.05 < res.f1 < 0.95
+        assert res.form_type_accuracy > 0.3
