@@ -7,12 +7,20 @@ device graph free of per-page shapes); each (bucket, batch) pair compiles
 exactly once.
 
 Dispatch discipline (the perf rule this module is built around): ONE fused
-device call per batch — uint8 canvases up; skew angles + a stride-2
-probability map down. Everything between (normalize, skew estimate,
+device call per batch — uint8 GRAYSCALE canvases up; skew angles + a
+stride-2 probability map down. Everything between (normalize, skew estimate,
 enhancement, DBNet) stays in HBM. Deskew *rotation* is host-side cv2 and
 triggers a second pass only for pages that actually need it (reference
 gating: skip <0.5 deg, reject >45 deg, image_preprocessing.py:433-439) —
 in-graph rotation would make every page pay the gather cost under vmap.
+
+Wire format: the TPU sits behind a ~15 MB/s tunnel (CLAUDE.md), so
+host->device bytes ARE the throughput ceiling. Canvases go up as single-
+channel uint8 (3x less than RGB; text has no chroma the models use) and are
+broadcast to the models' 3-channel input in-graph. The placed device batch
+is kept on each DetResult (canvas_stack/canvas_row/canvas_scale) so the
+recognition stage can crop from it directly instead of re-uploading the
+same pixels — see JaxOCREngine.rec_stage.
 """
 
 from __future__ import annotations
@@ -40,6 +48,10 @@ class DetResult:
     skew_angle: float
     page: np.ndarray | None = None  # deskewed page (crops/overlay source)
     prob_map: np.ndarray | None = None  # stride-PROB_STRIDE map (model coords)
+    # device-canvas handoff to the rec stage (skips the second page upload):
+    canvas_stack: object | None = None  # jax (B, S, S) uint8 gray, on device
+    canvas_row: int = -1  # this page's row in canvas_stack
+    canvas_scale: float = 1.0  # page coords * scale -> canvas coords
 
 
 class Detector:
@@ -79,7 +91,8 @@ class Detector:
 
             @jax.jit
             def fwd(images):
-                # images: (B, S, S, 3) uint8 canvases
+                # images: (B, S, S) uint8 GRAY canvases (wire-thin; the
+                # models' 3-channel input is broadcast here, in HBM)
                 f = images.astype(jnp.float32) / 255.0
 
                 if s.enable_deskew:
@@ -92,7 +105,9 @@ class Detector:
                         fused_enhance,
                     )
 
-                    normed = fused_enhance(f)
+                    normed = fused_enhance(
+                        jnp.repeat(f[..., None], 3, axis=-1)
+                    )
                 else:
 
                     def pre(img):
@@ -141,7 +156,8 @@ class Detector:
             batch = np.stack([canvases[i] for i in idxs])
             batch, n_real = self._pad_for_dp(batch)
             fwd = self._forward(bucket, batch.shape[0])
-            prob, angles = fwd(self._place(batch))
+            placed = self._place(batch)
+            prob, angles = fwd(placed)
             prob, angles = prob[:n_real], angles[:n_real]
             angles = np.asarray(angles)
 
@@ -159,7 +175,8 @@ class Detector:
                     applied[j] = float(angles[j])
                 batch = np.stack([canvases[i] for i in idxs])
                 batch, n_real = self._pad_for_dp(batch)
-                prob, _ = fwd(self._place(batch))
+                placed = self._place(batch)
+                prob, _ = fwd(placed)
                 prob = prob[:n_real]
 
             prob = np.asarray(prob).astype(np.float32) / 255.0
@@ -185,6 +202,9 @@ class Detector:
                     skew_angle=float(applied[j]),
                     page=pages[i],
                     prob_map=prob[j],
+                    canvas_stack=placed,
+                    canvas_row=j,
+                    canvas_scale=scale,
                 )
         return [results[i] for i in range(len(pages))]
 
@@ -226,7 +246,7 @@ class Detector:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         return jax.device_put(
-            batch, NamedSharding(mesh, P("dp", None, None, None))
+            batch, NamedSharding(mesh, P("dp", *([None] * (batch.ndim - 1))))
         )
 
 
@@ -250,7 +270,8 @@ def _det_bucket(shape, buckets: tuple[int, ...]) -> int:
 
 
 def _letterbox_host(page: np.ndarray, bucket: int) -> tuple[np.ndarray, float]:
-    """Host-side aspect-preserving resize+pad to (bucket, bucket) uint8."""
+    """Host-side aspect-preserving resize+pad to a GRAY (bucket, bucket)
+    uint8 canvas — single channel on the wire (see module docstring)."""
     h, w = page.shape[:2]
     scale = min(bucket / h, bucket / w)
     nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
@@ -258,13 +279,15 @@ def _letterbox_host(page: np.ndarray, bucket: int) -> tuple[np.ndarray, float]:
         import cv2
 
         resized = cv2.resize(page, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if resized.ndim == 3:
+            resized = cv2.cvtColor(resized, cv2.COLOR_RGB2GRAY)
     except ImportError:  # PIL fallback
         from PIL import Image
 
         resized = np.asarray(
-            Image.fromarray(page).resize((nw, nh), Image.BILINEAR)
+            Image.fromarray(page).convert("L").resize((nw, nh), Image.BILINEAR)
         )
-    canvas = np.full((bucket, bucket, 3), 255, np.uint8)
+    canvas = np.full((bucket, bucket), 255, np.uint8)
     canvas[:nh, :nw] = resized
     return canvas, scale
 

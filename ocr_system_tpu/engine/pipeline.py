@@ -178,23 +178,51 @@ class JaxOCREngine:
     def det_stage(self, pages: list[PageImage]):
         return self.detector.detect_batch([p.pixels for p in pages])
 
+    # pages letterbox to detection canvases at scale s<=1; recognition crops
+    # from those canvases only above this scale (below it the canvas has
+    # meaningfully less resolution than the page and CER would pay for the
+    # saved transfer)
+    REC_CANVAS_MIN_SCALE = 0.98
+
     def rec_stage(
         self, pages: list[PageImage], dets, t0: float | None = None
     ) -> list[OCROutput]:
         t0 = time.perf_counter() if t0 is None else t0
-        rec_pages = [
-            d.page if d.page is not None else p.pixels
-            for p, d in zip(pages, dets)
-        ]
         quads_list = [
             np.array([b.quad for b in d.boxes], np.float32).reshape(-1, 4, 2)
             for d in dets
         ]
-        recs_list = self.recognizer.recognize_pages(rec_pages, quads_list)
+        recs_list = self._recognize(pages, dets, quads_list)
         return [
             self._finish_page(p, d, t0, recs=r)
             for p, d, r in zip(pages, dets, recs_list)
         ]
+
+    def _recognize(self, pages, dets, quads_list):
+        """Route recognition through the det stage's device-resident canvases
+        when they carry full page resolution (one page upload per wave
+        instead of two — the tunnel wire is the throughput ceiling, see
+        detector.py module docstring); host path otherwise."""
+        reusable = all(
+            d.canvas_stack is not None
+            and d.canvas_scale >= self.REC_CANVAS_MIN_SCALE
+            for d in dets
+        ) and len({id(d.canvas_stack) for d in dets}) == 1
+        if not reusable or not dets:
+            rec_pages = [
+                d.page if d.page is not None else p.pixels
+                for p, d in zip(pages, dets)
+            ]
+            return self.recognizer.recognize_pages(rec_pages, quads_list)
+
+        stack = dets[0].canvas_stack
+        row_quads: list[np.ndarray] = [
+            np.zeros((0, 4, 2), np.float32)
+        ] * stack.shape[0]
+        for d, q in zip(dets, quads_list):
+            row_quads[d.canvas_row] = (q * d.canvas_scale).astype(np.float32)
+        row_recs = self.recognizer.recognize_on_device_stack(stack, row_quads)
+        return [row_recs[d.canvas_row] for d in dets]
 
     def get_status(self) -> dict:
         """Reference get_status contract (ocr_service.py:759-800)."""

@@ -65,38 +65,19 @@ class Recognizer:
         self._fn_cache: dict[tuple, object] = {}
 
     # ---- compiled stages ----
-
-    def _crop_rec_fn(self, page_hw: tuple[int, int], n: int, width: int):
-        """Compiled page (H, W, 3) uint8 + quads -> decoded ids/conf.
-
-        Crop+rectify, recognition forward, and CTC decode fuse into ONE
-        dispatch; the page tensor never leaves HBM between stages and only
-        the small id/conf arrays come back to host.
-        """
-        key = ("croprec", page_hw, n, width)
-        if key not in self._fn_cache:
-            h = self.settings.rec_image_height
-
-            @jax.jit
-            def run(page, quads, widths):
-                page = page.astype(jnp.float32) / 255.0
-                crops = crop_quads(page, quads, (h, width))
-                logits, lengths = self.model.apply(
-                    self.variables, crops, widths, train=False
-                )
-                ids, conf, cnt = ctc.ctc_greedy_decode(logits, lengths)
-                return ids, conf, cnt
-
-            self._fn_cache[key] = run
-        return self._fn_cache[key]
+    #
+    # Pages cross the wire (or arrive from the det stage) as single-channel
+    # uint8 — 3x fewer tunnel bytes than RGB; crops are broadcast to the
+    # model's 3-channel input in-graph AFTER cropping, so the broadcast never
+    # costs HBM bandwidth on the full page.
 
     def _multi_crop_rec_fn(self, page_hw: tuple[int, int], n_pages: int,
                            crops_per_page: int, width: int):
-        """Compiled (P, H, W, 3) uint8 pages + (P, N, 4, 2) quads -> decoded
-        ids/conf for all P*N crops in ONE dispatch. Quads are padded per page
-        so the crop gather vmaps over static page-major structure (a dynamic
-        page index per crop would force a mega-gather over the whole stack).
-        """
+        """Compiled (P, H, W) uint8 gray pages + (P, N, 4, 2) quads ->
+        decoded ids/conf for all P*N crops in ONE dispatch. Quads are padded
+        per page so the crop gather vmaps over static page-major structure (a
+        dynamic page index per crop would force a mega-gather over the whole
+        stack)."""
         key = ("mcroprec", page_hw, n_pages, crops_per_page, width)
         if key not in self._fn_cache:
             h = self.settings.rec_image_height
@@ -106,9 +87,10 @@ class Recognizer:
                 pages = pages.astype(jnp.float32) / 255.0
                 crops = jax.vmap(
                     lambda page, qs: crop_quads(page, qs, (h, width))
-                )(pages, quads)  # (P, N, h, width, 3)
-                crops = crops.reshape(-1, h, width, 3)
+                )(pages, quads)  # (P, N, h, width)
+                crops = crops.reshape(-1, h, width)[..., None]
                 crops = _mask_pad(crops, widths.reshape(-1))
+                crops = jnp.broadcast_to(crops, (*crops.shape[:-1], 3))
                 logits, lengths = self.model.apply(
                     self.variables, crops, widths.reshape(-1), train=False
                 )
@@ -131,8 +113,9 @@ class Recognizer:
                 crops = jax.vmap(
                     lambda page, bs: crop_boxes_separable(page, bs, (h, width))
                 )(pages, aabbs)
-                crops = crops.reshape(-1, h, width, 3)
+                crops = crops.reshape(-1, h, width)[..., None]
                 crops = _mask_pad(crops, widths.reshape(-1))
+                crops = jnp.broadcast_to(crops, (*crops.shape[:-1], 3))
                 logits, lengths = self.model.apply(
                     self.variables, crops, widths.reshape(-1), train=False
                 )
@@ -154,11 +137,9 @@ class Recognizer:
         self, pages: list[np.ndarray], quads_list: list[np.ndarray]
     ) -> list[list[RecResult]]:
         """Batched multi-page recognition: pages sharing a shape are stacked
-        and ALL their crops decode in width-bucketed fused dispatches —
-        device round trips scale with #buckets, not #pages x #buckets."""
-        s = self.settings
-        h_rec = s.rec_image_height
-        buckets = sorted(s.rec_width_buckets)
+        (as gray uint8 — see class comment) and ALL their crops decode in
+        width-bucketed fused dispatches — device round trips scale with
+        #buckets, not #pages x #buckets."""
         results: list[list[RecResult | None]] = [
             [None] * len(q) for q in quads_list
         ]
@@ -171,25 +152,77 @@ class Recognizer:
 
         for shape, page_idxs in by_shape.items():
             n_pages = len(page_idxs)
-            stack = np.zeros((n_pages, *shape, 3), np.uint8)
+            stack = np.zeros((n_pages, *shape), np.uint8)
             for k, p_i in enumerate(page_idxs):
-                stack[k] = pages[p_i]
+                stack[k] = _to_gray(pages[p_i])
             stack_dev = jnp.asarray(stack)
+            self._rec_on_stack(
+                stack_dev, shape, page_idxs, quads_list, results
+            )
+        return [
+            [r if r is not None else RecResult("", 0.0) for r in row]
+            for row in results
+        ]
 
-            # bucket every (page, quad) by target width
-            per_bucket: dict[int, list[list[tuple[int, np.ndarray, float]]]] = {}
-            for k, p_i in enumerate(page_idxs):
-                quads = quads_list[p_i]
-                widths_px = np.linalg.norm(quads[:, 1] - quads[:, 0], axis=1)
-                heights_px = np.linalg.norm(quads[:, 3] - quads[:, 0], axis=1)
-                aspect = widths_px / np.maximum(heights_px, 1e-3)
-                target_w = np.clip(aspect * h_rec, 16, buckets[-1])
-                for q_i in range(len(quads)):
-                    b = _first_ge(buckets, target_w[q_i])
-                    group = per_bucket.setdefault(b, [[] for _ in page_idxs])
-                    group[k].append((q_i, quads[q_i], target_w[q_i]))
+    def recognize_on_device_stack(
+        self, stack_dev, quads_list: list[np.ndarray]
+    ) -> list[list[RecResult]]:
+        """Crops decode straight from a device-resident gray uint8 page stack
+        (P, S, S) — the det stage's letterboxed canvases — so the page pixels
+        cross the tunnel exactly once per wave. quads_list: one (N, 4, 2)
+        array per stack row, in STACK (canvas) coords."""
+        results: list[list[RecResult | None]] = [
+            [None] * len(q) for q in quads_list
+        ]
+        page_idxs = [i for i, q in enumerate(quads_list) if len(q) > 0]
+        if page_idxs:
+            if len(page_idxs) < stack_dev.shape[0]:
+                # compact device-side gather: rows without boxes (dp padding,
+                # blank pages) would otherwise pay empty crop slots
+                stack_dev = jnp.take(
+                    stack_dev, jnp.asarray(page_idxs), axis=0
+                )
+            self._rec_on_stack(
+                stack_dev,
+                tuple(stack_dev.shape[1:3]),
+                page_idxs,
+                quads_list,
+                results,
+            )
+        return [
+            [r if r is not None else RecResult("", 0.0) for r in row]
+            for row in results
+        ]
 
-            for bucket, groups in per_bucket.items():
+    def _rec_on_stack(
+        self,
+        stack_dev,
+        shape: tuple[int, int],
+        page_idxs: list[int],
+        quads_list: list[np.ndarray],
+        results: list[list[RecResult | None]],
+    ) -> None:
+        """Shared core: width-bucket the quads of `page_idxs` (rows of
+        stack_dev, in order) and run the fused crop+rec+decode dispatches."""
+        s = self.settings
+        h_rec = s.rec_image_height
+        buckets = sorted(s.rec_width_buckets)
+        n_pages = stack_dev.shape[0]
+
+        # bucket every (page, quad) by target width
+        per_bucket: dict[int, list[list[tuple[int, np.ndarray, float]]]] = {}
+        for k, p_i in enumerate(page_idxs):
+            quads = quads_list[p_i]
+            widths_px = np.linalg.norm(quads[:, 1] - quads[:, 0], axis=1)
+            heights_px = np.linalg.norm(quads[:, 3] - quads[:, 0], axis=1)
+            aspect = widths_px / np.maximum(heights_px, 1e-3)
+            target_w = np.clip(aspect * h_rec, 16, buckets[-1])
+            for q_i in range(len(quads)):
+                b = _first_ge(buckets, target_w[q_i])
+                group = per_bucket.setdefault(b, [[] for _ in page_idxs])
+                group[k].append((q_i, quads[q_i], target_w[q_i]))
+
+        for bucket, groups in per_bucket.items():
                 # aspect-preserving crops: extend each quad rightward so the
                 # (48, bucket) sample grid renders the text at its natural
                 # scale in the first w_valid columns (training pads, never
@@ -233,10 +266,20 @@ class Recognizer:
                         results[page_idxs[k]][q_i] = RecResult(
                             text=texts[flat_i], confidence=float(confs[flat_i])
                         )
-        return [
-            [r if r is not None else RecResult("", 0.0) for r in row]
-            for row in results
-        ]
+
+
+def _to_gray(page: np.ndarray) -> np.ndarray:
+    """(H, W[, 3]) uint8 -> (H, W) uint8 luma (wire-thin page format)."""
+    if page.ndim == 2:
+        return page
+    try:
+        import cv2
+
+        return cv2.cvtColor(page, cv2.COLOR_RGB2GRAY)
+    except ImportError:
+        return (
+            0.299 * page[..., 0] + 0.587 * page[..., 1] + 0.114 * page[..., 2]
+        ).astype(np.uint8)
 
 
 def _extend_quad(quad: np.ndarray, factor: float) -> np.ndarray:

@@ -90,3 +90,34 @@ class TestJaxEngineE2E:
         eng = JaxOCREngine(settings)
         st = eng.get_status()
         assert st["available"] and st["engine"] == "jax"
+
+    def test_canvas_reuse_matches_host_path(self, settings, form_image):
+        """The det->rec device-canvas handoff (one page upload per wave) must
+        decode identically to the host re-upload path."""
+        eng = JaxOCREngine(settings)
+        pages = [
+            PageImage(form_image[:256, :256].copy(), 1),
+            PageImage(255 - form_image[:256, :256].copy(), 2),
+        ]
+        dets = eng.det_stage(pages)
+        assert dets[0].canvas_stack is not None
+        assert abs(dets[0].canvas_scale - 1.0) < 1e-6
+        # fixed quads (don't depend on untrained det finding boxes)
+        quads_list = [
+            np.array(
+                [[[30, 40], [200, 40], [200, 58], [30, 58]],
+                 [[30, 80], [150, 80], [150, 98], [30, 98]]],
+                np.float32,
+            ),
+            np.array(
+                [[[30, 120], [220, 120], [220, 138], [30, 138]]], np.float32
+            ),
+        ]
+        dev = eng._recognize(pages, dets, quads_list)
+        # force the host path and compare
+        for d in dets:
+            d.canvas_stack = None
+        host = eng._recognize(pages, dets, quads_list)
+        assert [[r.text for r in row] for row in dev] == [
+            [r.text for r in row] for row in host
+        ]
