@@ -7,11 +7,10 @@ page rasterization (reference uses pdf2image/poppler at 300 DPI,
 (file_manager.save_processed_image, :262-291). Everything downstream of the
 decoded uint8 array is device compute (ops/image_ops.py).
 
-PDF rasterization: poppler is not vendored in this image, so the framework
-ships a minimal PDF page rasterizer for the common case (image-based/scanned
-PDFs: extracts embedded JPEG/Flate images) and falls back to pdf2image if
-present. Text-PDF vector rendering is out of scope for the OCR path — scanned
-documents are the workload.
+PDF rasterization is three-tier: pdf2image/poppler when installed (the
+reference's path; deploy/Dockerfile installs poppler-utils), else the
+first-party content-stream renderer (engine/pdf.py — text/vector/hybrid
+pages), else the embedded-image extractor below (last-resort scan salvage).
 """
 
 from __future__ import annotations
@@ -158,8 +157,8 @@ def pdf_page_count(data: bytes) -> int:
 
 def rasterize_pdf(data: bytes, dpi: int = 300) -> list[PageImage]:
     """PDF bytes -> page images (reference pdf_to_images,
-    image_preprocessing.py:248-295). Prefers pdf2image/poppler when
-    available; otherwise extracts embedded scan images."""
+    image_preprocessing.py:248-295). Tiers: poppler -> first-party renderer
+    (engine/pdf.py) -> embedded-image extraction."""
     try:
         import pdf2image  # type: ignore
 
@@ -169,8 +168,19 @@ def rasterize_pdf(data: bytes, dpi: int = 300) -> list[PageImage]:
             for i, p in enumerate(pages)
         ]
     except Exception:
-        images = _pdf_extract_images(data)
-        return [PageImage(img, i + 1, dpi) for i, img in enumerate(images)]
+        pass
+    try:
+        from ocr_system_tpu.engine.pdf import render_pdf
+
+        rendered = render_pdf(data, dpi=dpi)
+        # all-blank output means the interpreter understood the structure but
+        # none of the content (e.g. exotic filters) — salvage embedded scans
+        if any(int(p.min()) < 250 for p in rendered):
+            return [PageImage(img, i + 1, dpi) for i, img in enumerate(rendered)]
+    except Exception:
+        pass
+    images = _pdf_extract_images(data)
+    return [PageImage(img, i + 1, dpi) for i, img in enumerate(images)]
 
 
 def load_document(data: bytes, filename: str, dpi: int = 300) -> list[PageImage]:

@@ -84,14 +84,17 @@ def two_page_pdf():
 
 class TestPDFIngestion:
     def test_rasterize_two_pages(self, two_page_pdf):
-        pages = rasterize_pdf(two_page_pdf)
+        pages = rasterize_pdf(two_page_pdf, dpi=300)
         assert len(pages) == 2
         assert pages[0].page_number == 1
         assert pages[1].page_number == 2
-        assert pages[0].pixels.shape == (120, 100, 3)
-        # page content differs (dark band position)
-        assert pages[0].pixels[25, 50, 0] < 100
-        assert pages[1].pixels[25, 50, 0] > 200
+        # content renderer rasterizes the 100x120pt MediaBox at 300 DPI
+        h, w = pages[0].pixels.shape[:2]
+        assert abs(h - 120 * 300 / 72) < 2 and abs(w - 100 * 300 / 72) < 2
+        # page content differs (dark band position, y-flip-correct placement)
+        s = 300 / 72
+        assert pages[0].pixels[int(25 * s), int(50 * s), 0] < 100
+        assert pages[1].pixels[int(25 * s), int(50 * s), 0] > 200
 
     def test_page_count(self, two_page_pdf):
         assert pdf_page_count(two_page_pdf) == 2
