@@ -69,6 +69,11 @@ class ApiContext:
         db: Database | None = None,
         orchestrator: ExtractionOrchestrator | None = None,
     ):
+        # first compile per shape bucket costs 20-60 s over the TPU tunnel;
+        # the on-disk cache makes that per-machine instead of per-process
+        from ocr_system_tpu.core.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.settings = settings or get_settings()
         self.db = db or get_database()
         self.repos = Repositories(self.db)
@@ -234,8 +239,15 @@ def create_app(ctx: ApiContext | None = None) -> App:
             status="pending",
         )
         auto = fields.get("auto_extract", "true").lower() in ("1", "true", "yes")
+        # optional template selection at upload (reference upload_zone.py:30-77)
+        template = None
+        if fields.get("template_name"):
+            template = ctx.repos.templates.get_by_name(fields["template_name"])
+            if template is None:
+                raise HTTPError(404, f"Template {fields['template_name']} not found")
+            ctx.repos.templates.increment_usage(template["id"])
         if auto:
-            bg.add_task(run_extraction, doc["id"])
+            bg.add_task(run_extraction, doc["id"], template)
         return Response.json(
             {**serialize_document(doc), "auto_extract": auto}, status=201
         )
@@ -378,6 +390,31 @@ def create_app(ctx: ApiContext | None = None) -> App:
         )
         ctx.repos.extractions.update_stats(ext["id"], s)
         return Response.json(serialize_field(updated, s))
+
+    @r.post("/api/extractions/{extraction_id}/fields")
+    async def add_field(req: Request, bg: BackgroundTasks) -> Response:
+        """Manually add a field the extractor missed (reference frontend
+        add-new-field form, dropdown_fields.py:181-231)."""
+        ext = get_extraction_or_404(req.path_params["extraction_id"])
+        check_not_finalized(ext)
+        body = req.json() or {}
+        key = (body.get("field_key") or "").strip()
+        if not key:
+            raise HTTPError(422, "field_key is required")
+        field = ctx.repos.fields.create(
+            extraction_id=ext["id"],
+            sort_order=ctx.repos.fields.count(
+                "extraction_id = ?", (ext["id"],)
+            ),
+            field_key=key,
+            field_value=body.get("field_value", ""),
+            field_type=body.get("field_type", "text"),
+            confidence=1.0,  # human-entered
+            is_edited=True,
+            page_number=int(body.get("page_number") or 1),
+        )
+        ctx.repos.extractions.update_stats(ext["id"], s)
+        return Response.json(serialize_field(field, s), status=201)
 
     @r.post("/api/extractions/{extraction_id}/validate")
     async def validate_extraction(req: Request, bg: BackgroundTasks) -> Response:

@@ -204,8 +204,20 @@ class LayoutModelExtractor:
             self.settings.compute_dtype, self.settings.param_dtype
         )
         self.max_len = 2048
+        # sp mesh axis > 1 -> serve with in-model ring attention (the
+        # sequence dimension shards over the ring; power-of-two serving
+        # buckets guarantee divisibility)
+        try:
+            from ocr_system_tpu.core.mesh import get_mesh
+
+            seq_parallel = get_mesh().shape.get("sp", 1) > 1
+        except Exception:
+            seq_parallel = False
         self.model = LayoutExtractor(
-            vocab_size=self.charset.size, policy=policy, max_len=self.max_len
+            vocab_size=self.charset.size,
+            policy=policy,
+            max_len=self.max_len,
+            sequence_parallel=seq_parallel,
         )
         if params is None:
             from ocr_system_tpu.core.checkpoint import maybe_load

@@ -46,7 +46,8 @@ function navigate() {
     a.classList.toggle("active", a.dataset.page === page)
   );
   clearInterval(pollTimer);
-  if (page === "upload") renderQueue(), (pollTimer = setInterval(renderQueue, 2000));
+  if (page === "upload")
+    loadTemplates(), renderQueue(), (pollTimer = setInterval(renderQueue, 2000));
   if (page === "documents") renderDocuments();
   if (page === "dashboard") renderDashboard();
   if (page === "review" && arg) openReview(arg);
@@ -58,10 +59,26 @@ window.addEventListener("hashchange", navigate);
 const dropzone = document.getElementById("dropzone");
 const fileInput = document.getElementById("file-input");
 
+async function loadTemplates() {
+  const sel = document.getElementById("template-select");
+  if (!sel || sel.dataset.loaded) return;
+  const data = await api.get("/api/templates").catch(() => null);
+  if (!data) return;
+  sel.dataset.loaded = "1";
+  (data.items || []).forEach((t) => {
+    const o = document.createElement("option");
+    o.value = t.name;
+    o.textContent = t.name;
+    sel.appendChild(o);
+  });
+}
+
 async function doUpload(file) {
   const fd = new FormData();
   fd.append("file", file);
   fd.append("auto_extract", document.getElementById("auto-extract").checked);
+  const tmpl = document.getElementById("template-select")?.value;
+  if (tmpl) fd.append("template_name", tmpl);
   document.getElementById("upload-status").textContent = `Uploading ${file.name}…`;
   try {
     const doc = await api.req("POST", "/api/documents/upload", fd, true);
@@ -214,6 +231,7 @@ function renderFields() {
   );
   document.getElementById("finalize-btn").disabled = !!e.is_finalized;
   document.getElementById("save-all").disabled = !!e.is_finalized;
+  document.getElementById("add-field-btn").disabled = !!e.is_finalized;
 }
 
 window.selectField = function (id) {
@@ -237,6 +255,25 @@ document.getElementById("save-all")?.addEventListener("click", async () => {
   }
   toast(`Saved ${ids.length} field(s)`);
   openReview(review.doc.id);
+});
+
+document.getElementById("add-field-btn")?.addEventListener("click", async () => {
+  const key = document.getElementById("new-field-key").value.trim();
+  if (!key) return toast("Field name required");
+  await api
+    .post(`/api/extractions/${review.ext.id}/fields`, {
+      field_key: key,
+      field_value: document.getElementById("new-field-value").value,
+      field_type: document.getElementById("new-field-type").value,
+      page_number: review.page,
+    })
+    .then(() => {
+      toast(`Added "${key}"`);
+      document.getElementById("new-field-key").value = "";
+      document.getElementById("new-field-value").value = "";
+      openReview(review.doc.id);
+    })
+    .catch((e) => toast(e.message));
 });
 
 document.getElementById("validate-btn")?.addEventListener("click", async () => {

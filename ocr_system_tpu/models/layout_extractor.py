@@ -60,6 +60,14 @@ class Block(nn.Module):
     heads: int
     mlp_ratio: int = 4
     policy: DTypePolicy = default_policy()
+    # sequence-parallel exact attention (parallel/ring_attention.py): K/V
+    # blocks rotate the mesh's 'sp' ring via ppermute with online-softmax
+    # accumulation, so documents longer than one chip's attention budget
+    # still get IN-MODEL global attention (SURVEY §5.7's second tier; the
+    # first tier is extract/layout_model.py's page-chunk map-reduce).
+    # Requires seq_len % mesh.shape['sp'] == 0 — serving buckets are powers
+    # of two, so any sp in {2,4,8,...} divides them.
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x, mask):
@@ -75,11 +83,19 @@ class Block(nn.Module):
         q = q.reshape(b, t, h, hd)
         k = k.reshape(b, t, h, hd)
         v = v.reshape(b, t, h, hd)
-        scale = hd**-0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(logits.dtype)
-        attn = jax.nn.softmax(logits + bias, axis=-1)
-        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+        if self.sequence_parallel:
+            from ocr_system_tpu.core.mesh import get_mesh
+            from ocr_system_tpu.parallel.ring_attention import ring_attention
+
+            y = ring_attention(q, k, v, mask, get_mesh()).reshape(b, t, d)
+        else:
+            scale = hd**-0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            bias = jnp.where(
+                mask[:, None, None, :], 0.0, -1e9
+            ).astype(logits.dtype)
+            attn = jax.nn.softmax(logits + bias, axis=-1)
+            y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
         y = _dense(d, "proj", ("heads", "embed"), self.policy)(y)
         x = x + y
 
@@ -97,6 +113,7 @@ class LayoutExtractor(nn.Module):
     heads: int = 8
     max_len: int = 2048
     policy: DTypePolicy = default_policy()
+    sequence_parallel: bool = False  # see Block.sequence_parallel
 
     @nn.compact
     def __call__(
@@ -152,9 +169,13 @@ class LayoutExtractor(nn.Module):
             x = x + windows.astype(dt)
 
         for i in range(self.depth):
-            x = Block(self.dim, self.heads, policy=self.policy, name=f"block{i}")(
-                x, mask
-            )
+            x = Block(
+                self.dim,
+                self.heads,
+                policy=self.policy,
+                sequence_parallel=self.sequence_parallel,
+                name=f"block{i}",
+            )(x, mask)
         x = nn.LayerNorm(dtype=dt, param_dtype=pt)(x)
 
         tag_logits = _dense(NUM_TAGS, "tag_head", ("embed", "tags"), self.policy)(x)

@@ -295,6 +295,62 @@ class TestExtractions:
         )
         assert resp.status == 404
 
+    def test_template_at_upload(self, client, form_png):
+        """Reference upload_zone.py:30-77: template picked at upload time
+        drives the auto-extraction."""
+        resp = client.upload(
+            "/api/documents/upload", "t.png", form_png,
+            extra_fields={"template_name": "Application Form"},
+        )
+        assert resp.status == 201
+        doc_id = body_json(resp)["id"]
+        doc = body_json(client.get(f"/api/documents/{doc_id}"))
+        eid = doc["extractions"][0]["id"]
+        data = body_json(client.get(f"/api/extractions/{eid}"))
+        keys = {f["field_key"] for f in data["fields"]}
+        assert "Full Name" in keys
+
+    def test_template_at_upload_unknown_404(self, client, form_png):
+        resp = client.upload(
+            "/api/documents/upload", "t.png", form_png,
+            extra_fields={"template_name": "Nope"},
+        )
+        assert resp.status == 404
+
+    def test_add_field(self, client, uploaded):
+        doc = body_json(client.get(f"/api/documents/{uploaded['id']}"))
+        eid = doc["extractions"][0]["id"]
+        before = body_json(client.get(f"/api/extractions/{eid}"))
+        resp = client.post_json(
+            f"/api/extractions/{eid}/fields",
+            {"field_key": "PO Number", "field_value": "PO-77",
+             "field_type": "number"},
+        )
+        assert resp.status == 201
+        f = body_json(resp)
+        assert f["field_key"] == "PO Number" and f["is_edited"]
+        after = body_json(client.get(f"/api/extractions/{eid}"))
+        assert after["total_fields"] == before["total_fields"] + 1
+        assert any(
+            x["field_key"] == "PO Number" and x["field_value"] == "PO-77"
+            for x in after["fields"]
+        )
+
+    def test_add_field_requires_key(self, client, uploaded):
+        doc = body_json(client.get(f"/api/documents/{uploaded['id']}"))
+        eid = doc["extractions"][0]["id"]
+        resp = client.post_json(f"/api/extractions/{eid}/fields", {})
+        assert resp.status == 422
+
+    def test_add_field_blocked_when_finalized(self, client, uploaded):
+        doc = body_json(client.get(f"/api/documents/{uploaded['id']}"))
+        eid = doc["extractions"][0]["id"]
+        client.post_json(f"/api/extractions/{eid}/finalize", {"confirm": True})
+        resp = client.post_json(
+            f"/api/extractions/{eid}/fields", {"field_key": "X"}
+        )
+        assert resp.status == 409
+
 
 class TestExports:
     def _eid(self, client, uploaded):
