@@ -96,22 +96,32 @@ class E2EEvalResult:
 
 
 def evaluate_end_to_end(
-    engine, charset, n_pages: int = 10, size: int = 800, seed: int = 5555
+    engine, charset, n_pages: int = 10, size: int = 800, seed: int = 5555,
+    forms_fraction: float = 0.5,
 ) -> E2EEvalResult:
     """Full-pipeline eval: render synthetic pages (held-out seed), run the
     engine (det + rec + reading order), score page-level CER of the ordered
     text and per-line recall. This is the BASELINE 'CER on test images'
-    metric measured end-to-end rather than rec-only."""
+    metric measured end-to-end rather than rec-only.
+
+    Pages mix plain text layouts with structured forms (tables, two-column,
+    separated key/value boxes) at `forms_fraction` — the document classes
+    production actually sees."""
     import numpy as np
 
     from ocr_system_tpu.engine.preprocess import PageImage
     from ocr_system_tpu.training.synth import TextRenderer
+    from ocr_system_tpu.training import synth_forms as SF
 
     renderer = TextRenderer(charset, seed=seed)
+    form_gen = SF.FormGenerator(seed=seed + 1)
     page_cers = []
     matched = total_lines = 0
     for i in range(n_pages):
-        page = renderer.render_page(size=size, augment=False)
+        if i < n_pages * forms_fraction:
+            page = SF.render_spec(form_gen.generate(size), augment=False)
+        else:
+            page = renderer.render_page(size=size, augment=False)
         out = engine.process_pages([PageImage((page.image * 255).astype(np.uint8), 1)])[0]
         truth_lines = [charset.decode(charset.encode(t)) for t in page.texts]
         # page-level CER over reading-order concatenation

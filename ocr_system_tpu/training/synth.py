@@ -37,20 +37,72 @@ def discover_fonts(extra_dir: str | None = None) -> list[Path]:
     """Font files for rendering. The baked DejaVu set covers Latin; for
     Devanagari (BASELINE config 3) point SYNTH_FONT_DIR at a directory with
     e.g. NotoSansDevanagari — the renderer picks up every .ttf found there.
+    Generated asset fonts (training/devanagari_font.py) are included too.
     """
     import os
 
     fonts = [_FONT_DIR / f for f in FONTS if (_FONT_DIR / f).is_file()]
+    asset_dir = Path(__file__).resolve().parents[2] / "assets" / "fonts"
+    if asset_dir.is_dir():
+        fonts += sorted(asset_dir.glob("*.ttf"))
     extra = extra_dir or os.environ.get("SYNTH_FONT_DIR")
     if extra and Path(extra).is_dir():
         fonts += sorted(Path(extra).glob("*.ttf"))
     return fonts
+
+
+_CMAP_CACHE: dict[str, frozenset[int]] = {}
+
+
+def font_codepoints(path: Path) -> frozenset[int]:
+    """Codepoints a font's cmap covers (fontTools, cached per path)."""
+    key = str(path)
+    if key not in _CMAP_CACHE:
+        try:
+            from fontTools.ttLib import TTFont
+
+            t = TTFont(key, lazy=True)
+            _CMAP_CACHE[key] = frozenset(t.getBestCmap().keys())
+            t.close()
+        except Exception:
+            _CMAP_CACHE[key] = frozenset()
+    return _CMAP_CACHE[key]
+
+
+def fonts_covering(charset: Charset, paths: list[Path]) -> list[Path]:
+    """Fonts that cover >=90% of the charset's non-ASCII codepoints (ASCII
+    is everywhere; tofu boxes from an uncovered script would poison
+    recognition training). Ensures the generated Devanagari font exists when
+    the charset needs that script and nothing else covers it."""
+    need = {ord(c) for c in charset.chars if ord(c) > 0x7F}
+    if not need:
+        return paths
+    if any(0x0900 <= cp <= 0x097F for cp in need):
+        from ocr_system_tpu.training.devanagari_font import ensure_font
+
+        p = ensure_font()
+        if p not in paths:
+            paths = paths + [p]
+    good = [
+        p for p in paths
+        if len(need & font_codepoints(p)) >= 0.9 * len(need)
+    ]
+    return good or paths
+
 
 _WORDS = (
     "invoice total amount name date address phone email city state zip "
     "order number quantity price tax paid due balance customer vendor "
     "description item subtotal payment method account reference signature "
     "john mary smith garcia chen patel acme global services limited inc"
+).split()
+
+# common Hindi form vocabulary (Devanagari script); used when the charset
+# covers Devanagari so recognition trains on plausible word shapes
+_WORDS_HI = (
+    "नाम पता फोन तारीख राशि कुल चालान संख्या ग्राहक हस्ताक्षर "
+    "भुगतान खाता शहर राज्य देश विवरण मात्रा मूल्य कर देय शेष "
+    "आवेदन प्रपत्र जन्म ईमेल कंपनी सेवा वस्तु आदेश रसीद बिल"
 ).split()
 
 
@@ -78,7 +130,11 @@ class TextRenderer:
     ):
         self.charset = charset
         self.rng = random.Random(seed)
-        self.font_paths = discover_fonts(font_dir)
+        self.font_paths = fonts_covering(charset, discover_fonts(font_dir))
+        # script-appropriate word pool (see _WORDS_HI)
+        self._devanagari = any(
+            0x0900 <= ord(c) <= 0x097F for c in charset.chars
+        )
         self._fonts: dict[tuple[str, int], ImageFont.FreeTypeFont] = {}
 
     def _font(self, name, size: int) -> ImageFont.FreeTypeFont:
@@ -96,6 +152,8 @@ class TextRenderer:
         kind = r.random()
         if kind < 0.45:
             n = r.randint(1, max_words)
+            if self._devanagari:
+                return " ".join(r.choice(_WORDS_HI) for _ in range(n))
             words = [r.choice(_WORDS) for _ in range(n)]
             if r.random() < 0.3:
                 words = [w.capitalize() for w in words]

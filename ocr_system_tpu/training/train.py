@@ -225,40 +225,65 @@ def det_batch_iterator(
 ) -> Iterator[dict]:
     """Page-pool iterator: page rendering (PIL + numpy DB targets) costs
     ~1 s/page — far slower than a train step — so a pool of pre-rendered
-    pages is sampled per batch and `1/refresh_every` of each batch is
-    re-rendered fresh, keeping the device fed while the pool slowly turns
-    over."""
-    renderer = synth.TextRenderer(charset or get_charset("latin"), seed=seed)
+    pages is sampled per batch and a background worker re-renders fresh
+    pages continuously, keeping the device fed while the pool turns over.
+
+    Data mix (the round-1 det model's weakness was layout diversity, not
+    steps): half plain text pages (synth.render_page), half structured FORM
+    pages (synth_forms.render_spec — two-column layouts, separated key/value
+    boxes, ruled tables, titles/footers, varied font sizes). Images travel
+    as single-channel uint8 (the renders are grayscale; 3x less tunnel
+    traffic — normalize_for_model broadcasts on device)."""
+    from ocr_system_tpu.training import synth_forms as SF
+
+    cs = charset or get_charset("latin")
     rng = np.random.default_rng(seed)
 
-    def render_one():
-        page = renderer.render_page(size=size)
+    def make_sources(s: int):
+        return (
+            synth.TextRenderer(cs, seed=s),
+            SF.FormGenerator(seed=s),
+            np.random.default_rng(s),
+        )
+
+    def render_one(sources):
+        renderer, gen, r = sources
+        if r.random() < 0.5:
+            page = renderer.render_page(size=size)
+        else:
+            page = SF.render_spec(gen.generate(size))
         to_u8 = lambda a: np.clip(a * 255.0, 0, 255).astype(np.uint8)
         return (
-            to_u8(page.image), to_u8(page.shrink_map), to_u8(page.shrink_mask),
+            to_u8(page.image[..., 0]),  # gray on the wire
+            to_u8(page.shrink_map), to_u8(page.shrink_mask),
             to_u8(page.thresh_map), to_u8(page.thresh_mask),
         )
 
     import threading
 
-    pool = [render_one() for _ in range(min(pool_size, 64))]
+    main_sources = make_sources(seed)
+    pool = [render_one(main_sources) for _ in range(min(pool_size, 64))]
     lock = threading.Lock()
     stop = threading.Event()
 
-    def worker():
+    def worker(wid: int):
         # continuously renders fresh pages, decoupled from the train loop —
         # pool turnover is then bounded by host CPU, not by steps (a slow
         # per-step refresh let a 2k-step run overfit a 256-page pool)
-        wrng = np.random.default_rng(seed + 104729)
+        sources = make_sources(seed + 104729 * (wid + 1))
+        wrng = sources[2]
         while not stop.is_set():
-            item = render_one()
+            item = render_one(sources)
             with lock:
                 if len(pool) < pool_size:
                     pool.append(item)
                 else:
                     pool[wrng.integers(0, len(pool))] = item
 
-    threads = [threading.Thread(target=worker, daemon=True) for _ in range(2)]
+    threads = [
+        threading.Thread(target=worker, args=(i,), daemon=True)
+        for i in range(2)
+    ]
     for t in threads:
         t.start()
     try:

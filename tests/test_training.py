@@ -136,3 +136,45 @@ def test_graft_entry_runs():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 256, 256)
+
+
+class TestDevanagari:
+    def test_font_builds_and_renders_distinct_glyphs(self, tmp_path):
+        from PIL import Image, ImageDraw, ImageFont
+
+        from ocr_system_tpu.training.devanagari_font import build_font
+
+        p = build_font(tmp_path / "dev.ttf")
+        f = ImageFont.truetype(str(p), 40)
+
+        def render(txt):
+            img = Image.new("L", (200, 80), 255)
+            ImageDraw.Draw(img).text((5, 5), txt, font=f, fill=0)
+            return np.asarray(img)
+
+        ka, kha, na = render("क"), render("ख"), render("न")
+        assert (ka < 128).sum() > 50  # ink, not tofu/blank
+        assert (ka != kha).sum() > 100  # distinct glyphs
+        assert (ka != na).sum() > 100
+
+    def test_renderer_picks_covering_font(self):
+        from ocr_system_tpu.models.charsets import get_charset
+        from ocr_system_tpu.training.devanagari_font import FONT_NAME
+
+        r = synth.TextRenderer(get_charset("devanagari"), seed=1)
+        assert all(FONT_NAME in str(p) for p in r.font_paths), r.font_paths
+        # Latin renderer keeps the DejaVu set
+        r2 = synth.TextRenderer(get_charset("latin"), seed=1)
+        assert any("DejaVu" in str(p) for p in r2.font_paths)
+
+    def test_devanagari_line_and_page_render(self):
+        from ocr_system_tpu.models.charsets import get_charset
+
+        cs = get_charset("devanagari")
+        r = synth.TextRenderer(cs, seed=2)
+        line = r.render_line(max_width=160)
+        assert line.image.min() < 0.5  # ink present
+        assert line.text and all(cs.char_to_id(c) >= 0 for c in line.text)
+        page = r.render_page(size=512)
+        assert len(page.texts) > 0
+        assert page.shrink_map.max() == 1.0
