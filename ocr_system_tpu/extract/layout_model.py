@@ -332,32 +332,17 @@ class LayoutModelExtractor:
         self, word_boxes, page_wh, ocr_text, line_confidences, template,
         custom_prompt,
     ) -> ExtractionResult:
-        """Split word boxes by page into chunks that fit max_len, extract
-        each, merge with earlier-chunk-wins dedup."""
+        """Split word boxes by page into overlapping chunks that fit
+        max_len, extract each, merge with earlier-chunk-wins dedup. The
+        overlap exists for exactly one failure mode: a key whose value lands
+        in the NEXT chunk would silently lose the pair — repeating the tail
+        of each chunk at the head of the next lets the pair form there, and
+        the key-level dedup in chunked_extract_merge drops the duplicate."""
         from ocr_system_tpu.parallel.ring_attention import chunked_extract_merge
 
-        by_page: dict[int, list[dict]] = {}
-        for b in word_boxes:
-            by_page.setdefault(b.get("page_number", 1), []).append(b)
-
-        chunks: list[list[dict]] = []
-        cur: list[dict] = []
-        cur_tokens = 0
-
-        def flush():
-            nonlocal cur, cur_tokens
-            if cur:
-                chunks.append(cur)
-                cur, cur_tokens = [], 0
-
-        for page_no in sorted(by_page):
-            for b in by_page[page_no]:
-                n = len(b.get("content") or "") + 1
-                if cur and cur_tokens + n > self.max_len:
-                    flush()
-                cur.append(b)
-                cur_tokens += n
-        flush()
+        chunks = split_word_boxes(
+            word_boxes, self.max_len, overlap_tokens=self.max_len // 8
+        )
         # guard: a chunk always has fewer tokens than the input (box-level
         # splitting), so the recursive call below hits the direct path
 
@@ -375,6 +360,52 @@ class LayoutModelExtractor:
                 merged.fields, [], line_confidences or {}, template
             )
         return merged
+
+
+def split_word_boxes(
+    word_boxes: list[dict], max_len: int, overlap_tokens: int = 0
+) -> list[list[dict]]:
+    """Page-ordered chunking by token budget with tail overlap (see
+    _extract_chunked). Pure function so the boundary behavior is testable
+    without a model: any (key, value) pair of boxes within overlap_tokens of
+    each other co-occurs in at least one chunk."""
+    by_page: dict[int, list[dict]] = {}
+    for b in word_boxes:
+        by_page.setdefault(b.get("page_number", 1), []).append(b)
+
+    def tokens(b) -> int:
+        return len(b.get("content") or "") + 1
+
+    chunks: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_tokens = 0
+
+    def flush(carry_overlap: bool):
+        nonlocal cur, cur_tokens
+        if not cur:
+            return
+        chunks.append(cur)
+        tail: list[dict] = []
+        if carry_overlap and overlap_tokens > 0:
+            t = 0
+            for b in reversed(cur):
+                t += tokens(b)
+                if t > overlap_tokens:
+                    break
+                tail.append(b)
+            tail.reverse()
+        cur = list(tail)
+        cur_tokens = sum(tokens(b) for b in cur)
+
+    for page_no in sorted(by_page):
+        for b in by_page[page_no]:
+            n = tokens(b)
+            if cur and cur_tokens + n > max_len:
+                flush(carry_overlap=True)
+            cur.append(b)
+            cur_tokens += n
+    flush(carry_overlap=False)
+    return chunks
 
 
 def get_extractor(settings: Settings | None = None):

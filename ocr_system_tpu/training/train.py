@@ -456,6 +456,7 @@ def train_detector(
     log_every: int = 20,
     seed: int = 0,
     state: TrainState | None = None,
+    pool_size: int = 1024,
 ) -> tuple[TrainState, dict]:
     from ocr_system_tpu.models.dbnet import DBNet
 
@@ -468,7 +469,8 @@ def train_detector(
             jnp.zeros((1, size, size, 3)), train=True,
         )
     step_fn = make_det_train_step(model, optimizer, mesh)
-    it = det_batch_iterator(batch_size, size=size, seed=seed)
+    it = det_batch_iterator(batch_size, size=size, seed=seed,
+                            pool_size=pool_size)
     losses = []
     t0 = time.time()
     for i in range(steps):
