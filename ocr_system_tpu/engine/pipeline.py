@@ -338,10 +338,16 @@ def _build_engine(key: str, s: Settings):
         return JaxOCREngine(s)
     if key == "classical":
         # classical CV detection + neural recognition: the no-weights
-        # fallback engine (third engine variant; SURVEY §2.1 #9-11 seam)
+        # fallback engine (second engine variant; SURVEY §2.1 #9-11 seam)
         from ocr_system_tpu.engine.classical_detector import ClassicalDetector
 
         return JaxOCREngine(s, detector=ClassicalDetector(s))
+    if key == "hybrid":
+        # neural ∪ classical ensemble detection (third engine variant;
+        # recall-oriented — see engine/hybrid_detector.py)
+        from ocr_system_tpu.engine.hybrid_detector import HybridDetector
+
+        return JaxOCREngine(s, detector=HybridDetector(s))
     if key == "fake":
         return FakeOCREngine(s)
     raise ValueError(f"unknown OCR engine {key!r}")

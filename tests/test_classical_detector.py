@@ -70,3 +70,51 @@ class TestClassicalDetector:
         eng = get_engine(s)
         assert isinstance(eng, JaxOCREngine)
         assert isinstance(eng.detector, ClassicalDetector)
+
+
+class TestHybridMerge:
+    def _box(self, x0, y0, x1, y1, score=0.9):
+        from ocr_system_tpu.ops.boxes import DetectedBox
+
+        q = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32
+        )
+        return DetectedBox(quad=q, score=score)
+
+    def test_union_dedups_overlaps_neural_wins(self):
+        from ocr_system_tpu.engine.hybrid_detector import merge_boxes
+
+        neural = [self._box(10, 10, 100, 30, 0.92)]
+        classical = [
+            self._box(12, 11, 98, 29, 0.8),   # same word -> dropped
+            self._box(10, 60, 80, 80, 0.8),   # neural miss -> kept
+        ]
+        merged = merge_boxes(neural, classical)
+        assert len(merged) == 2
+        assert merged[0].score == 0.92  # neural first
+        assert merged[1].score <= 0.6  # classical fill-in capped
+
+    def test_disjoint_all_kept(self):
+        from ocr_system_tpu.engine.hybrid_detector import merge_boxes
+
+        neural = [self._box(0, 0, 50, 20)]
+        classical = [self._box(0, 40, 50, 60), self._box(100, 0, 150, 20)]
+        assert len(merge_boxes(neural, classical)) == 3
+
+    def test_engine_registry_exposes_hybrid(self, settings):
+        from ocr_system_tpu.engine.pipeline import _build_engine
+        from ocr_system_tpu.engine.hybrid_detector import HybridDetector
+
+        eng = _build_engine("hybrid", settings)
+        assert isinstance(eng.detector, HybridDetector)
+
+    @pytest.mark.slow
+    def test_hybrid_detect_batch_contract(self, settings, form_image):
+        from ocr_system_tpu.engine.hybrid_detector import HybridDetector
+
+        det = HybridDetector(settings)
+        res = det.detect_batch([form_image])[0]
+        assert res.page is not None
+        assert isinstance(res.boxes, list)
+        for b in res.boxes:
+            assert b.quad.shape == (4, 2)
