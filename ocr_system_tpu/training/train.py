@@ -170,27 +170,49 @@ def rec_batch_iterator(
 # ---------------- detector ----------------
 
 
+def _unpack_bits(packed: jnp.ndarray, width: int) -> jnp.ndarray:
+    """(…, W/8) uint8 -> (…, W) float32 in {0,1} (np.packbits big-endian
+    order). Binary DB targets travel bit-packed: the tunnel is the det
+    training bottleneck and 3 of the 4 target maps are {0,1}-valued."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & 1
+    return bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)[
+        ..., :width
+    ].astype(jnp.float32)
+
+
 def make_det_train_step(model, optimizer, mesh: Mesh):
     from ocr_system_tpu.models.dbnet import db_loss
     from ocr_system_tpu.ops.image_ops import normalize_for_model
 
     def loss_fn(params, batch_stats, batch):
-        # uint8 on the wire; decode to f32 on device
-        imgs = jax.vmap(normalize_for_model)(
-            batch["images"].astype(jnp.float32) / 255.0
-        )
+        # gray uint8 on the wire; decode to f32 + augment ON DEVICE (host-
+        # side gaussian noise made every page incompressible, tripling the
+        # tunnel time per step — clean synthetic pages compress well)
+        f = batch["images"].astype(jnp.float32) / 255.0
+        key = jax.random.PRNGKey(batch["noise_seed"][0])
+        b = f.shape[0]
+        kn, ks, kp = jax.random.split(key, 3)
+        std = jax.random.uniform(ks, (b, 1, 1), maxval=0.04)
+        apply_noise = (
+            jax.random.uniform(kp, (b, 1, 1)) < 0.5
+        ).astype(jnp.float32)
+        noise = jax.random.normal(kn, f.shape) * std * apply_noise
+        f = jnp.clip(f + noise, 0.0, 1.0)
+        imgs = jax.vmap(normalize_for_model)(f)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             imgs,
             train=True,
             mutable=["batch_stats"],
         )
+        size = f.shape[1]
         loss = db_loss(
             out,
-            batch["shrink_map"].astype(jnp.float32) / 255.0,
-            batch["shrink_mask"].astype(jnp.float32) / 255.0,
+            _unpack_bits(batch["shrink_bits"], size),
+            _unpack_bits(batch["smask_bits"], size),
             batch["thresh_map"].astype(jnp.float32) / 255.0,
-            batch["thresh_mask"].astype(jnp.float32) / 255.0,
+            _unpack_bits(batch["tmask_bits"], size),
         )
         return loss, mutated["batch_stats"]
 
@@ -248,15 +270,18 @@ def det_batch_iterator(
 
     def render_one(sources):
         renderer, gen, r = sources
+        # augment=False: noise is added ON DEVICE (make_det_train_step) so
+        # the page stays compressible on the wire
         if r.random() < 0.5:
-            page = renderer.render_page(size=size)
+            page = renderer.render_page(size=size, augment=False)
         else:
-            page = SF.render_spec(gen.generate(size))
+            page = SF.render_spec(gen.generate(size), augment=False)
         to_u8 = lambda a: np.clip(a * 255.0, 0, 255).astype(np.uint8)
+        to_bits = lambda a: np.packbits(a > 0.5, axis=-1)
         return (
             to_u8(page.image[..., 0]),  # gray on the wire
-            to_u8(page.shrink_map), to_u8(page.shrink_mask),
-            to_u8(page.thresh_map), to_u8(page.thresh_mask),
+            to_bits(page.shrink_map), to_bits(page.shrink_mask),
+            to_u8(page.thresh_map), to_bits(page.thresh_mask),
         )
 
     import threading
@@ -293,10 +318,14 @@ def det_batch_iterator(
                 batch = [pool[i] for i in idxs]
             yield {
                 "images": np.stack([b[0] for b in batch]),
-                "shrink_map": np.stack([b[1] for b in batch]),
-                "shrink_mask": np.stack([b[2] for b in batch]),
+                "shrink_bits": np.stack([b[1] for b in batch]),
+                "smask_bits": np.stack([b[2] for b in batch]),
                 "thresh_map": np.stack([b[3] for b in batch]),
-                "thresh_mask": np.stack([b[4] for b in batch]),
+                "tmask_bits": np.stack([b[4] for b in batch]),
+                # per-batch augmentation seed (device-side noise)
+                "noise_seed": rng.integers(0, 1 << 31, batch_size).astype(
+                    np.int32
+                ),
             }  # all uint8 (see render_one)
     finally:
         stop.set()
