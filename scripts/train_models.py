@@ -115,6 +115,8 @@ def train_det(args) -> None:
         lr=args.lr,
         seed=args.seed,
         state=state,
+        save_every=1000,  # crash-safe long runs over the tunnel
+        save_path=str(Path(args.out or "checkpoints/det").absolute()),
     )
     logger.info("det metrics: %s", metrics)
     out = Path(args.out or "checkpoints/det")
