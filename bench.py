@@ -105,9 +105,11 @@ def main() -> None:
     from ocr_system_tpu.engine.preprocess import PageImage
     from ocr_system_tpu.engine.scheduler import PageScheduler
 
-    size = 960
-    wave = 8
-    n_pages = 48
+    size = int(os.environ.get("BENCH_SIZE", "960"))
+    # wave 16 amortizes the tunnel RTT better now that pages cross the wire
+    # once, gray (round-1 format was 2x RGB uploads per wave)
+    wave = int(os.environ.get("BENCH_WAVE", "16"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "64"))
 
     ckpt = lambda p: p if os.path.isdir(p) else ""
     settings = Settings(
@@ -151,6 +153,16 @@ def main() -> None:
     _record(n_ok / dt / n_chips)
     _note(f"main: {n_ok}/{n_pages} pages in {dt:.2f}s "
           f"-> {_best['value']} pages/s/chip")
+
+    # stage breakdown (unpipelined, for the perf narrative on stderr)
+    t = time.perf_counter()
+    dets = engine.det_stage(pages[:wave])
+    det_dt = time.perf_counter() - t
+    t = time.perf_counter()
+    engine.rec_stage(pages[:wave], dets)
+    rec_dt = time.perf_counter() - t
+    _note(f"breakdown per {wave}-page wave: det {det_dt:.2f}s "
+          f"(upload+fwd+boxes) rec {rec_dt:.2f}s (crop+fwd+decode+order)")
     _emit_and_exit(0)
 
 

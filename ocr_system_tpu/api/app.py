@@ -229,6 +229,15 @@ def create_app(ctx: ApiContext | None = None) -> App:
             ctx.files.validate_file(up.filename, len(up.data))
         except FileValidationError as e:
             raise HTTPError(400, str(e))
+        auto = fields.get("auto_extract", "true").lower() in ("1", "true", "yes")
+        # optional template selection at upload (reference upload_zone.py:30-77).
+        # Resolved BEFORE anything persists: a 404 here must not leave an
+        # orphaned file + pending document row behind.
+        template = None
+        if fields.get("template_name"):
+            template = ctx.repos.templates.get_by_name(fields["template_name"])
+            if template is None:
+                raise HTTPError(404, f"Template {fields['template_name']} not found")
         path, stored_name = ctx.files.save_upload(up.data, up.filename)
         doc = ctx.repos.documents.create(
             filename=stored_name,
@@ -238,15 +247,11 @@ def create_app(ctx: ApiContext | None = None) -> App:
             file_type=FileManager.get_extension(up.filename),
             status="pending",
         )
-        auto = fields.get("auto_extract", "true").lower() in ("1", "true", "yes")
-        # optional template selection at upload (reference upload_zone.py:30-77)
-        template = None
-        if fields.get("template_name"):
-            template = ctx.repos.templates.get_by_name(fields["template_name"])
-            if template is None:
-                raise HTTPError(404, f"Template {fields['template_name']} not found")
-            ctx.repos.templates.increment_usage(template["id"])
         if auto:
+            if template is not None:
+                # usage counts reflect templates that actually drove an
+                # extraction, so the increment lives in the auto branch
+                ctx.repos.templates.increment_usage(template["id"])
             bg.add_task(run_extraction, doc["id"], template)
         return Response.json(
             {**serialize_document(doc), "auto_extract": auto}, status=201

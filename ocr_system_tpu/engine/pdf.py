@@ -319,6 +319,8 @@ def decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
     parms = resolve(sdict.get("DecodeParms")) or resolve(sdict.get("DP"))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):  # malformed-but-seen: pad, don't zip-drop
+        parms = parms + [None] * (len(filters) - len(parms))
     data = raw
     for f, parm in zip(filters, parms):
         f = str(f)
@@ -361,10 +363,13 @@ class PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.objects: dict[int, object] = {}  # num -> parsed value (lazy)
-        self._offsets: dict[int, int] = {}
+        # CANDIDATE offsets per object number: the regex scan can also match
+        # "N G obj" byte patterns inside compressed stream bodies, so every
+        # match is kept and get() tries them in file order until one parses
+        self._offsets: dict[int, list[int]] = {}
         self._streams: dict[int, tuple[dict, bytes]] = {}
         for m in re.finditer(rb"(?m)(\d+)\s+(\d+)\s+obj\b", data):
-            self._offsets[int(m.group(1))] = m.end()
+            self._offsets.setdefault(int(m.group(1)), []).append(m.end())
         self._expand_object_streams()
 
     # -- object access --
@@ -372,21 +377,20 @@ class PdfDocument:
     def get(self, num: int):
         if num in self.objects:
             return self.objects[num]
-        off = self._offsets.get(num)
-        if off is None:
-            return None
-        try:
-            val, pos = parse_object(self.data, off)
-        except PdfError:
-            self.objects[num] = None
-            return None
-        if isinstance(val, dict):
-            pos = _skip_ws(self.data, pos)
-            if self.data[pos : pos + 6] == b"stream":
-                body = self._read_stream_body(val, pos + 6)
-                self._streams[num] = (val, body)
-        self.objects[num] = val
-        return val
+        for off in self._offsets.get(num, ()):
+            try:
+                val, pos = parse_object(self.data, off)
+            except PdfError:
+                continue
+            if isinstance(val, dict):
+                pos = _skip_ws(self.data, pos)
+                if self.data[pos : pos + 6] == b"stream":
+                    body = self._read_stream_body(val, pos + 6)
+                    self._streams[num] = (val, body)
+            self.objects[num] = val
+            return val
+        self.objects[num] = None
+        return None
 
     def _read_stream_body(self, sdict: dict, pos: int) -> bytes:
         if self.data[pos : pos + 2] == b"\r\n":

@@ -169,17 +169,20 @@ def rasterize_pdf(data: bytes, dpi: int = 300) -> list[PageImage]:
         ]
     except Exception:
         pass
+    rendered: list[np.ndarray] = []
     try:
         from ocr_system_tpu.engine.pdf import render_pdf
 
         rendered = render_pdf(data, dpi=dpi)
-        # all-blank output means the interpreter understood the structure but
-        # none of the content (e.g. exotic filters) — salvage embedded scans
+        # all-blank output usually means the interpreter understood the
+        # structure but none of the content (e.g. exotic filters) — prefer
+        # embedded-scan salvage THEN, but keep the renders if salvage finds
+        # nothing (a genuinely blank/faint PDF is still a valid document)
         if any(int(p.min()) < 250 for p in rendered):
             return [PageImage(img, i + 1, dpi) for i, img in enumerate(rendered)]
     except Exception:
         pass
-    images = _pdf_extract_images(data)
+    images = _pdf_extract_images(data) or rendered
     return [PageImage(img, i + 1, dpi) for i, img in enumerate(images)]
 
 

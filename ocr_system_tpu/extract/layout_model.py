@@ -272,6 +272,24 @@ class LayoutModelExtractor:
                 word_boxes, page_wh, ocr_text, line_confidences, template,
                 custom_prompt,
             )
+        return self._extract_direct(
+            word_boxes, page_wh, ocr_text, line_confidences, template,
+            custom_prompt,
+        )
+
+    def _extract_direct(
+        self,
+        word_boxes: list[dict],
+        page_wh: tuple[float, float],
+        ocr_text: str = "",
+        line_confidences: dict | None = None,
+        template: dict | None = None,
+        custom_prompt: str | None = None,
+    ) -> ExtractionResult:
+        """Single-window extraction; tokenize_layout truncates at max_len,
+        so this always terminates (the chunked path calls it per chunk — a
+        pathological chunk that can't shrink, e.g. one giant box, degrades
+        to truncation instead of recursing)."""
         t0 = time.perf_counter()
         ids, boxes, mask, word_of = tokenize_layout(
             word_boxes, page_wh, self.charset, self.max_len
@@ -343,11 +361,8 @@ class LayoutModelExtractor:
         chunks = split_word_boxes(
             word_boxes, self.max_len, overlap_tokens=self.max_len // 8
         )
-        # guard: a chunk always has fewer tokens than the input (box-level
-        # splitting), so the recursive call below hits the direct path
-
         results = [
-            self.extract_from_layout(
+            self._extract_direct(
                 chunk, page_wh, ocr_text="", line_confidences=line_confidences,
                 template=None, custom_prompt=custom_prompt,
             )

@@ -116,15 +116,19 @@ def chunked_extract_merge(chunk_results: list) -> "object":
     from ocr_system_tpu.extract.types import ExtractionResult
 
     merged = ExtractionResult()
-    seen: set[str] = set()
+    seen: set[tuple[str, str]] = set()
     for r in chunk_results:
         if not r.success:
             continue
         for f in r.fields:
             key = f.field_key.strip().lower()
-            if key and key in seen:
+            # keyed fields dedup by key (earlier chunk wins); orphan values
+            # (empty key) dedup by value — chunk OVERLAP re-decodes the tail
+            # of each chunk, which would otherwise duplicate them
+            sig = (key, "" if key else f.field_value.strip().lower())
+            if sig in seen:
                 continue
-            seen.add(key)
+            seen.add(sig)
             merged.fields.append(f)
         merged.token_count += r.token_count
         merged.processing_time_ms += r.processing_time_ms

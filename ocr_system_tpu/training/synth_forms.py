@@ -25,6 +25,7 @@ a layout-aware model can — this is what makes the neural tier earn its keep.
 from __future__ import annotations
 
 import random
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -672,7 +673,12 @@ def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = Tru
     from ocr_system_tpu.training.synth import discover_fonts, make_db_targets
     from ocr_system_tpu.training import synth as S
 
-    r = random.Random(hash((len(spec.elements), spec.size, spec.form_type)) & 0xFFFF)
+    # NOT hash(): str hashing is PYTHONHASHSEED-salted, which would make
+    # renders differ across processes and wobble every e2e eval number
+    seed_src = f"{len(spec.elements)}:{spec.size}:{spec.form_type}:" + "|".join(
+        e.text for e in spec.elements[:3]
+    )
+    r = random.Random(zlib.crc32(seed_src.encode()) & 0xFFFF)
     fonts = discover_fonts(font_dir)
     size = spec.size
     img = Image.new("L", (size, size), r.randint(235, 255))

@@ -578,3 +578,32 @@ class TestLayoutModelExtractionE2E:
         assert data["status"] == "completed"
         assert data["model_name"] == "layout_model"
         db.close()
+
+
+class TestUploadTemplateAtomicity:
+    def test_unknown_template_leaves_no_orphan(self, client, form_png):
+        before = body_json(client.get("/api/documents"))["total"]
+        resp = client.upload(
+            "/api/documents/upload", "t.png", form_png,
+            extra_fields={"template_name": "Nope"},
+        )
+        assert resp.status == 404
+        after = body_json(client.get("/api/documents"))["total"]
+        assert after == before, "404 upload must not persist a document"
+
+    def test_no_auto_extract_skips_usage_increment(self, client, form_png):
+        t0 = next(
+            t for t in body_json(client.get("/api/templates"))["items"]
+            if t["name"] == "Application Form"
+        )
+        resp = client.upload(
+            "/api/documents/upload", "t.png", form_png,
+            extra_fields={"template_name": "Application Form",
+                          "auto_extract": "false"},
+        )
+        assert resp.status == 201
+        t1 = next(
+            t for t in body_json(client.get("/api/templates"))["items"]
+            if t["name"] == "Application Form"
+        )
+        assert t1["usage_count"] == t0["usage_count"]

@@ -206,3 +206,50 @@ class TestChunkBoundaryOverlap:
         chunks = split_word_boxes(boxes, max_len=100, overlap_tokens=20)
         covered = {b["content"] for c in chunks for b in c}
         assert covered == {b["content"] for b in boxes}
+
+    def test_giant_box_does_not_recurse(self):
+        """A single box larger than max_len must degrade to truncation,
+        never recurse (the chunked path calls _extract_direct per chunk)."""
+        from ocr_system_tpu.extract.layout_model import split_word_boxes
+
+        boxes = [
+            {"content": "ab", "polygon": [0, 0, 1, 0, 1, 1, 0, 1],
+             "page_number": 1},
+            {"content": "x" * 3000, "polygon": [0, 2, 9, 2, 9, 3, 0, 3],
+             "page_number": 1},
+        ]
+        chunks = split_word_boxes(boxes, max_len=2048, overlap_tokens=256)
+        # a chunk may equal the input here — the serving path handles it by
+        # extracting each chunk directly (truncated), so just assert the
+        # splitter terminates and covers everything
+        covered = {b["content"] for c in chunks for b in c}
+        assert covered == {"ab", "x" * 3000}
+
+
+class TestMergeOrphanDedup:
+    def test_overlap_duplicate_orphans_merge_once(self):
+        from ocr_system_tpu.extract.types import ExtractedField, ExtractionResult
+        from ocr_system_tpu.parallel.ring_attention import chunked_extract_merge
+
+        orphan = ExtractedField(field_key="", field_value="Springfield IL",
+                                field_type="text", confidence=0.9)
+        a = ExtractionResult(fields=[orphan], success=True)
+        b = ExtractionResult(
+            fields=[ExtractedField(field_key="", field_value="Springfield IL",
+                                   field_type="text", confidence=0.9)],
+            success=True,
+        )
+        merged = chunked_extract_merge([a, b])
+        assert len(merged.fields) == 1
+
+    def test_distinct_orphans_both_kept(self):
+        from ocr_system_tpu.extract.types import ExtractedField, ExtractionResult
+        from ocr_system_tpu.parallel.ring_attention import chunked_extract_merge
+
+        a = ExtractionResult(
+            fields=[ExtractedField("", "alpha", "text", 0.9)], success=True
+        )
+        b = ExtractionResult(
+            fields=[ExtractedField("", "beta", "text", 0.9)], success=True
+        )
+        assert len(chunked_extract_merge([a, b]).fields) == 2
