@@ -186,12 +186,20 @@ def make_det_train_step(model, optimizer, mesh: Mesh):
     from ocr_system_tpu.ops.image_ops import normalize_for_model
 
     def loss_fn(params, batch_stats, batch):
-        # gray uint8 on the wire; decode to f32 + augment ON DEVICE (host-
-        # side gaussian noise made every page incompressible, tripling the
-        # tunnel time per step — clean synthetic pages compress well)
-        f = batch["images"].astype(jnp.float32) / 255.0
+        # wire format (the tunnel moves ~5 MB/s; every byte counts):
+        #   images      4-bit packed gray  (B, S, S/2)  — det is a high-
+        #               contrast segmentation task, 16 gray levels suffice
+        #   thresh_map  stride-2 uint8     (B, S/2, S/2) — smooth by
+        #               construction, bilinear-upsampled here
+        #   other maps  bit-packed {0,1}   (B, S, S/8)
+        # augmentation noise is generated ON DEVICE (host noise would make
+        # the images incompressible in transport)
+        packed = batch["images"]
+        b, s = packed.shape[0], packed.shape[1]
+        hi = (packed >> 4).astype(jnp.float32)
+        lo = (packed & 15).astype(jnp.float32)
+        f = jnp.stack([hi, lo], axis=-1).reshape(b, s, s) / 15.0
         key = jax.random.PRNGKey(batch["noise_seed"][0])
-        b = f.shape[0]
         kn, ks, kp = jax.random.split(key, 3)
         std = jax.random.uniform(ks, (b, 1, 1), maxval=0.04)
         apply_noise = (
@@ -206,13 +214,17 @@ def make_det_train_step(model, optimizer, mesh: Mesh):
             train=True,
             mutable=["batch_stats"],
         )
-        size = f.shape[1]
+        thresh = jax.image.resize(
+            batch["thresh_map"].astype(jnp.float32) / 255.0,
+            (b, s, s),
+            method="bilinear",
+        )
         loss = db_loss(
             out,
-            _unpack_bits(batch["shrink_bits"], size),
-            _unpack_bits(batch["smask_bits"], size),
-            batch["thresh_map"].astype(jnp.float32) / 255.0,
-            _unpack_bits(batch["tmask_bits"], size),
+            _unpack_bits(batch["shrink_bits"], s),
+            _unpack_bits(batch["smask_bits"], s),
+            thresh,
+            _unpack_bits(batch["tmask_bits"], s),
         )
         return loss, mutated["batch_stats"]
 
@@ -278,10 +290,13 @@ def det_batch_iterator(
             page = SF.render_spec(gen.generate(size), augment=False)
         to_u8 = lambda a: np.clip(a * 255.0, 0, 255).astype(np.uint8)
         to_bits = lambda a: np.packbits(a > 0.5, axis=-1)
+        g4 = to_u8(page.image[..., 0]) >> 4  # 16 gray levels
+        img_packed = (g4[:, 0::2] << 4 | g4[:, 1::2]).astype(np.uint8)
         return (
-            to_u8(page.image[..., 0]),  # gray on the wire
+            img_packed,  # 4-bit gray on the wire (see make_det_train_step)
             to_bits(page.shrink_map), to_bits(page.shrink_mask),
-            to_u8(page.thresh_map), to_bits(page.thresh_mask),
+            to_u8(page.thresh_map)[::2, ::2],  # stride-2; smooth target
+            to_bits(page.thresh_mask),
         )
 
     import threading
