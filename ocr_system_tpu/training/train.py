@@ -87,8 +87,11 @@ def make_rec_train_step(model, optimizer, mesh: Mesh):
     images (B, H, W, 3), widths (B,), labels (B, L), label_lengths (B,)."""
 
     def loss_fn(params, batch_stats, batch):
-        # batches travel host->device as uint8 (4x less PCIe/tunnel traffic)
+        # batches travel host->device as GRAY uint8 (B, H, W) — renders are
+        # monochrome; broadcast to the model's 3 channels in-graph
         images = batch["images"].astype(jnp.float32) / 255.0
+        if images.ndim == 3:
+            images = jnp.repeat(images[..., None], 3, axis=-1)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
@@ -144,7 +147,7 @@ def rec_batch_iterator(
         labels = np.zeros((max_label_len,), np.int32)
         labels[: len(enc)] = enc
         return (
-            (sample.image * 255).astype(np.uint8),
+            (sample.image[..., 0] * 255).astype(np.uint8),  # gray wire
             np.int32(sample.width),
             labels,
             np.int32(len(enc)),
