@@ -100,6 +100,10 @@ class Settings(BaseModel):
     # --- TPU-native knobs (no reference analog; see SURVEY.md §2.4) ---
     mesh_shape: str = "dp=-1"  # e.g. "dp=4,tp=2"; -1 = fill remaining devices
     use_pallas_kernels: bool = True  # planar fused preprocessing on TPU
+    # page wire format for detection upload: 8 = gray uint8, 4 = two
+    # 16-level pixels per byte (half the tunnel bytes; fine for
+    # high-contrast documents — measure CER before enabling in production)
+    det_wire_bits: int = 8
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     det_image_buckets: tuple[int, ...] = (640, 960, 1280)

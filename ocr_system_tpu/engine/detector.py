@@ -89,11 +89,25 @@ class Detector:
                 and jax.default_backend() not in ("cpu", "gpu")
             )
 
+            wire4 = s.det_wire_bits == 4
+
             @jax.jit
             def fwd(images):
-                # images: (B, S, S) uint8 GRAY canvases (wire-thin; the
-                # models' 3-channel input is broadcast here, in HBM)
-                f = images.astype(jnp.float32) / 255.0
+                # images: (B, S, S) uint8 GRAY canvases — or (B, S, S/2)
+                # with two 16-level pixels per byte when det_wire_bits=4
+                # (half the tunnel bytes). The models' 3-channel input is
+                # broadcast here, in HBM.
+                if wire4:
+                    hi = (images >> 4).astype(jnp.uint8)
+                    lo = (images & 15).astype(jnp.uint8)
+                    b_, s_ = images.shape[0], images.shape[1]
+                    gray_u8 = (
+                        jnp.stack([hi, lo], axis=-1).reshape(b_, s_, s_) * 17
+                    )
+                    f = gray_u8.astype(jnp.float32) / 255.0
+                else:
+                    gray_u8 = images
+                    f = images.astype(jnp.float32) / 255.0
 
                 if s.enable_deskew:
                     angles = jax.vmap(image_ops.estimate_skew_angle)(f)
@@ -134,7 +148,9 @@ class Detector:
                 # the mostly-flat map well (f32 fetch measured 370 ms/wave,
                 # u8 ~180 ms); bin/box thresholds keep full fidelity at 1/255
                 prob_u8 = (prob_ds * 255.0 + 0.5).astype(jnp.uint8)
-                return prob_u8, angles
+                # gray_u8 stays ON DEVICE as the rec stage's crop source
+                # (canvas reuse) — it never crosses the wire
+                return prob_u8, angles, gray_u8
 
             self._forward_cache[key] = fwd
         return self._forward_cache[key]
@@ -156,8 +172,8 @@ class Detector:
             batch = np.stack([canvases[i] for i in idxs])
             batch, n_real = self._pad_for_dp(batch)
             fwd = self._forward(bucket, batch.shape[0])
-            placed = self._place(batch)
-            prob, angles = fwd(placed)
+            placed = self._place(self._pack_wire(batch))
+            prob, angles, canvas_dev = fwd(placed)
             prob, angles = prob[:n_real], angles[:n_real]
             angles = np.asarray(angles)
 
@@ -175,8 +191,8 @@ class Detector:
                     applied[j] = float(angles[j])
                 batch = np.stack([canvases[i] for i in idxs])
                 batch, n_real = self._pad_for_dp(batch)
-                placed = self._place(batch)
-                prob, _ = fwd(placed)
+                placed = self._place(self._pack_wire(batch))
+                prob, _, canvas_dev = fwd(placed)
                 prob = prob[:n_real]
 
             prob = np.asarray(prob).astype(np.float32) / 255.0
@@ -202,11 +218,19 @@ class Detector:
                     skew_angle=float(applied[j]),
                     page=pages[i],
                     prob_map=prob[j],
-                    canvas_stack=placed,
+                    canvas_stack=canvas_dev,
                     canvas_row=j,
                     canvas_scale=scale,
                 )
         return [results[i] for i in range(len(pages))]
+
+    def _pack_wire(self, batch: np.ndarray) -> np.ndarray:
+        """Optionally pack two 16-level pixels per byte along W
+        (det_wire_bits=4; unpacked in-graph by _forward's fwd)."""
+        if self.settings.det_wire_bits != 4:
+            return batch
+        g4 = batch >> 4
+        return (g4[:, :, 0::2] << 4 | g4[:, :, 1::2]).astype(np.uint8)
 
 
     # ---- dp sharding helpers ----

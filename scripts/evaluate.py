@@ -28,7 +28,8 @@ def main() -> None:
     p.add_argument("--lines", type=int, default=100)
     p.add_argument("--docs", type=int, default=20)
     p.add_argument(
-        "--e2e", default="", help="run full-pipeline eval: 'classical' or 'jax'"
+        "--e2e", default="",
+        help="run full-pipeline eval: 'jax', 'classical', or 'hybrid'",
     )
     p.add_argument("--pages", type=int, default=10)
     p.add_argument(
@@ -113,6 +114,13 @@ def main() -> None:
 
             engine = JaxOCREngine(
                 e2e_settings, detector=ClassicalDetector(e2e_settings),
+                recognizer=Recognizer(e2e_settings, charset=charset),
+            )
+        elif args.e2e == "hybrid":
+            from ocr_system_tpu.engine.hybrid_detector import HybridDetector
+
+            engine = JaxOCREngine(
+                e2e_settings, detector=HybridDetector(e2e_settings),
                 recognizer=Recognizer(e2e_settings, charset=charset),
             )
         else:

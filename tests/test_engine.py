@@ -121,3 +121,29 @@ class TestJaxEngineE2E:
         assert [[r.text for r in row] for row in dev] == [
             [r.text for r in row] for row in host
         ]
+
+
+@pytest.mark.slow
+class TestWire4:
+    def test_wire4_detection_close_to_wire8(self, settings, form_image):
+        """det_wire_bits=4 halves the page upload; the 16-level quantization
+        must not change detection on high-contrast documents."""
+        page = form_image[:256, :256].copy()
+        e8 = JaxOCREngine(settings)
+        s4 = settings.model_copy(update={"det_wire_bits": 4})
+        e4 = JaxOCREngine(s4)
+        d8 = e8.det_stage([PageImage(page, 1)])[0]
+        d4 = e4.det_stage([PageImage(page, 1)])[0]
+        assert d4.canvas_stack is not None
+        assert d4.canvas_stack.shape == d8.canvas_stack.shape  # unpacked
+        # canvases agree within the 4-bit quantization step
+        import numpy as _np
+
+        diff = _np.abs(
+            _np.asarray(d4.canvas_stack).astype(int)
+            - _np.asarray(d8.canvas_stack).astype(int)
+        )
+        assert diff.max() <= 17
+        # box counts in the same ballpark (random-weights det; the contract
+        # is that the wire format doesn't perturb the input meaningfully)
+        assert abs(len(d4.boxes) - len(d8.boxes)) <= max(2, len(d8.boxes))
