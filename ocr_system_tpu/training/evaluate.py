@@ -115,6 +115,10 @@ def evaluate_end_to_end(
 
     renderer = TextRenderer(charset, seed=seed)
     form_gen = SF.FormGenerator(seed=seed + 1)
+    # form specs carry Latin content; a charset that can't encode it (e.g.
+    # pure Devanagari) evaluates on script-matched text pages only
+    if len(charset.encode("Invoice Number 42")) < 10:
+        forms_fraction = 0.0
     page_cers = []
     matched = total_lines = 0
     for i in range(n_pages):
