@@ -218,6 +218,37 @@ _def(0x0964, [(0.5, -0.1), (0.5, 1.05)], head=False, adv=0.5)  # ।
 _def(0x0965, [(0.38, -0.1), (0.38, 1.05)], [(0.62, -0.1), (0.62, 1.05)],
      head=False, adv=0.7)  # ॥
 
+# ASCII digits + the punctuation the devanagari charset carries
+# (string.digits + ".,:/-() ") — needed so the font covers that charset
+# FULLY and Hindi forms can show amounts/dates without switching fonts
+_def(0x2E, _c(0.5, 0.06, 0.06, 0, 360), head=False, adv=0.4)  # .
+_def(0x2C, [(0.52, 0.1), (0.44, -0.12)], head=False, adv=0.4)  # ,
+_def(0x3A, _c(0.5, 0.15, 0.05, 0, 360), _c(0.5, 0.55, 0.05, 0, 360),
+     head=False, adv=0.4)  # :
+_def(0x2F, [(0.3, -0.05), (0.7, 0.95)], head=False, adv=0.55)  # /
+_def(0x2D, [(0.3, 0.4), (0.7, 0.4)], head=False, adv=0.55)  # -
+_def(0x28, _c(0.72, 0.45, 0.42, 110, 250, rx=0.3), head=False, adv=0.45)  # (
+_def(0x29, _c(0.28, 0.45, 0.42, -70, 70, rx=0.3), head=False, adv=0.45)  # )
+
+_ASCII_DIGITS = {
+    0x30: [_c(0.5, 0.45, 0.33, 0, 360, rx=0.26)],  # 0
+    0x31: [[(0.35, 0.72), (0.52, 0.9), (0.52, 0.0)],
+           [(0.32, 0.0), (0.72, 0.0)]],  # 1
+    0x32: [_c(0.5, 0.68, 0.2, 0, 180), [(0.7, 0.68), (0.3, 0.0)],
+           [(0.3, 0.0), (0.72, 0.0)]],  # 2
+    0x33: [_c(0.46, 0.66, 0.2, 140, -80), _c(0.46, 0.26, 0.23, 80, -140)],  # 3
+    0x34: [[(0.62, 0.0), (0.62, 0.9), (0.28, 0.3), (0.78, 0.3)]],  # 4
+    0x35: [[(0.7, 0.9), (0.34, 0.9), (0.32, 0.5)],
+           _c(0.48, 0.27, 0.24, 90, 400)],  # 5
+    0x36: [_c(0.5, 0.28, 0.24, 0, 360), [(0.36, 0.45), (0.58, 0.9)]],  # 6
+    0x37: [[(0.28, 0.9), (0.74, 0.9), (0.44, 0.0)]],  # 7
+    0x38: [_c(0.5, 0.65, 0.19, 0, 360), _c(0.5, 0.25, 0.23, 0, 360)],  # 8
+    0x39: [_c(0.5, 0.62, 0.24, 0, 360), [(0.64, 0.45), (0.42, 0.0)]],  # 9
+}
+for _cp, _st in _ASCII_DIGITS.items():
+    _def(_cp, *_st, head=False, adv=0.75)
+
+
 _DEV_DIGITS = {  # ०१२३४५६७८९ — distinct, headline-free
     0x0966: [_c(0.5, 0.5, 0.3, 0, 360)],
     0x0967: [[(0.5, 0.9), (0.5, 0.15)], _c(0.42, 0.12, 0.1, 180, 330)],
@@ -289,10 +320,13 @@ def build_font(out_path: str | Path | None = None) -> Path:
     out = Path(out_path) if out_path else _DEFAULT_DIR / f"{FONT_NAME}.ttf"
     out.parent.mkdir(parents=True, exist_ok=True)
 
-    # full coverage: every codepoint the charsets can emit
+    # full coverage: every codepoint the devanagari charset can emit,
+    # including its ASCII digits/punctuation tail (models/charsets.py)
     cps = sorted(
         set(range(0x0901, 0x0964)) | {0x0964, 0x0965}
         | set(range(0x0966, 0x0970))
+        | set(range(0x30, 0x3A))  # 0-9
+        | {0x2E, 0x2C, 0x3A, 0x2F, 0x2D, 0x28, 0x29}
     )
     glyph_order = [".notdef", "space"] + [f"uni{cp:04X}" for cp in cps]
     cmap = {0x20: "space", 0xA0: "space"}

@@ -70,13 +70,12 @@ def font_codepoints(path: Path) -> frozenset[int]:
 
 
 def fonts_covering(charset: Charset, paths: list[Path]) -> list[Path]:
-    """Fonts that cover >=90% of the charset's non-ASCII codepoints (ASCII
-    is everywhere; tofu boxes from an uncovered script would poison
-    recognition training). Ensures the generated Devanagari font exists when
-    the charset needs that script and nothing else covers it."""
-    need = {ord(c) for c in charset.chars if ord(c) > 0x7F}
-    if not need:
-        return paths
+    """Fonts that cover >=90% of the FULL charset (a font missing a script
+    renders .notdef boxes, which poisons recognition training/eval — the
+    round-2 Devanagari asset font leaking into Latin lines cost 30 CER
+    points before per-text selection existed). Ensures the generated
+    Devanagari font exists when the charset needs that script."""
+    need = {ord(c) for c in charset.chars if c != " "}
     if any(0x0900 <= cp <= 0x097F for cp in need):
         from ocr_system_tpu.training.devanagari_font import ensure_font
 
@@ -144,8 +143,21 @@ class TextRenderer:
             self._fonts[key] = ImageFont.truetype(str(path), size)
         return self._fonts[key]
 
-    def _random_font(self, size: int) -> ImageFont.FreeTypeFont:
-        return self._font(self.rng.choice(self.font_paths), size)
+    def _random_font(
+        self, size: int, text: str | None = None
+    ) -> ImageFont.FreeTypeFont:
+        """Random font among those that can actually DRAW `text` — mixed
+        pools (DejaVu + Devanagari asset font) must never render a line's
+        chars as .notdef boxes."""
+        pool = self.font_paths
+        if text:
+            need = {ord(c) for c in text if c != " "}
+            covering = [
+                p for p in pool
+                if len(need & font_codepoints(p)) == len(need)
+            ]
+            pool = covering or pool
+        return self._font(self.rng.choice(pool), size)
 
     def random_text(self, max_words: int = 4) -> str:
         r = self.rng
@@ -189,7 +201,7 @@ class TextRenderer:
         if text is None:
             text = self.random_text()
         font_size = r.randint(22, 38) if augment else 30
-        font = self._random_font(font_size)
+        font = self._random_font(font_size, text)
         pad = r.randint(2, 8) if augment else 4
         # measure
         tmp = Image.new("L", (4, 4))
@@ -241,8 +253,8 @@ class TextRenderer:
         y = r.randint(10, 40)
         while len(texts) < n_lines and y < size - 40:
             x = r.randint(8, size // 3)
-            font = self._random_font(r.randint(14, 30))
             text = self.random_text(max_words=3)
+            font = self._random_font(r.randint(14, 30), text)
             bbox = d.textbbox((x, y), text, font=font)
             if bbox[2] >= size - 4:
                 text = text.split()[0]

@@ -670,7 +670,11 @@ def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = Tru
     detection targets match the pixels exactly."""
     from PIL import Image, ImageDraw, ImageFont
 
-    from ocr_system_tpu.training.synth import discover_fonts, make_db_targets
+    from ocr_system_tpu.training.synth import (
+        discover_fonts,
+        font_codepoints,
+        make_db_targets,
+    )
     from ocr_system_tpu.training import synth as S
 
     # NOT hash(): str hashing is PYTHONHASHSEED-salted, which would make
@@ -686,8 +690,13 @@ def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = Tru
     cache: dict[tuple[str, int], ImageFont.FreeTypeFont] = {}
 
     def font_for(e: Element) -> ImageFont.FreeTypeFont:
-        pool = [f for f in fonts if ("Bold" in f.name) == e.bold] or fonts
-        path = pool[hash((e.x0, e.y0)) % len(pool)]
+        # only fonts that can DRAW this element's text (a script-less font
+        # would render .notdef boxes and poison det training pixels)
+        need = {ord(c) for c in e.text if c != " "}
+        pool = [f for f in fonts if need <= font_codepoints(f)] or fonts
+        bold = [f for f in pool if ("Bold" in f.name) == e.bold]
+        pool = bold or pool
+        path = pool[(int(e.x0) * 31 + int(e.y0)) % len(pool)]
         key = (str(path), e.font_size)
         if key not in cache:
             cache[key] = ImageFont.truetype(str(path), e.font_size)
