@@ -41,6 +41,30 @@ def cer(reference: str, hypothesis: str) -> float:
     return edit_distance(reference, hypothesis) / len(reference)
 
 
+def infix_cer(needle: str, haystack: str) -> float:
+    """Best CER of `needle` against any substring of `haystack` (prefix/
+    suffix of the haystack are free). A truth element that the engine
+    legitimately merged into a longer line ("Date" inside "Date Nov 1,
+    2013") scores by its own edits only."""
+    if not needle:
+        return 0.0
+    if not haystack:
+        return 1.0
+    prev = [0] * (len(haystack) + 1)  # free prefix deletions
+    for i, ca in enumerate(needle, 1):
+        cur = [i]
+        for j, cb in enumerate(haystack, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return min(prev) / len(needle)  # free suffix deletions
+
+
 @dataclass
 class RecEvalResult:
     n_lines: int
@@ -127,26 +151,53 @@ def evaluate_end_to_end(
         else:
             page = renderer.render_page(size=size, augment=False)
         out = engine.process_pages([PageImage((page.image * 255).astype(np.uint8), 1)])[0]
-        truth_lines = [charset.decode(charset.encode(t)) for t in page.texts]
-        # page-level CER over reading-order concatenation
-        truth_sorted = "\n".join(
-            t for _, t in sorted(
-                zip((q[:, 1].min() for q in page.quads), truth_lines),
-                key=lambda p: p[0],
-            )
-        )
-        page_cers.append(cer(truth_sorted, out.markdown))
-        # per-line recall
+        texts = [charset.decode(charset.encode(t)) for t in page.texts]
+        # truth ROWS, clustered exactly like the engine's reading order
+        # (same-row elements merge left-to-right) — per-element truth would
+        # punish the engine for legitimately joining "Date" with its value
+        truth_rows = _cluster_rows(page.quads, texts)
+        page_cers.append(cer("\n".join(truth_rows), out.markdown))
         got_lines = out.markdown.splitlines()
-        for t in truth_lines:
+        for t in truth_rows:
             total_lines += 1
-            if any(cer(t, g) < 0.3 for g in got_lines):
+            if any(
+                min(cer(t, g), infix_cer(t, g)) < 0.3 for g in got_lines
+            ):
                 matched += 1
     return E2EEvalResult(
         n_pages=n_pages,
         mean_page_cer=float(sum(page_cers) / max(len(page_cers), 1)),
         line_recall=matched / max(total_lines, 1),
     )
+
+
+def _cluster_rows(quads, texts) -> list[str]:
+    """y-cluster word quads into rows (0.5x avg height tolerance, mirroring
+    engine/reading_order.py), x-sort within a row, join with spaces."""
+    import numpy as np
+
+    items = [
+        (float(q[:, 1].min()), float(q[:, 1].max()), float(q[:, 0].min()), t)
+        for q, t in zip(quads, texts)
+    ]
+    if not items:
+        return []
+    avg_h = sum(y1 - y0 for y0, y1, _, _ in items) / len(items)
+    tol = 0.5 * max(avg_h, 1.0)
+    rows: list[list] = []
+    for it in sorted(items, key=lambda v: v[0]):
+        yc = (it[0] + it[1]) / 2
+        for row in rows:
+            ry = sum((r[0] + r[1]) / 2 for r in row) / len(row)
+            if abs(yc - ry) <= tol:
+                row.append(it)
+                break
+        else:
+            rows.append([it])
+    return [
+        " ".join(t for _, _, _, t in sorted(row, key=lambda v: v[2]))
+        for row in rows
+    ]
 
 
 @dataclass
