@@ -200,7 +200,10 @@ class TextRenderer:
         r = self.rng
         if text is None:
             text = self.random_text()
-        font_size = r.randint(22, 38) if augment else 30
+        # 12px lower bound matters: form body text renders at 12-18px on
+        # ~96-dpi-equivalent pages, so serving upsamples ~3-4x into the
+        # 48px crop — training must cover that blur regime
+        font_size = r.randint(12, 38) if augment else 30
         font = self._random_font(font_size, text)
         pad = r.randint(2, 8) if augment else 4
         # measure
