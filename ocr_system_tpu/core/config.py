@@ -110,7 +110,18 @@ class Settings(BaseModel):
     det_bin_thresh: float = 0.3  # DB binarization threshold
     det_box_thresh: float = 0.5  # min mean prob to keep a box
     det_unclip_ratio: float = 2.6  # thin text lines need >paper's 1.5-2.0
-    det_box_pad_ratio: float = 0.2  # extra margin (fraction of box height)
+    # box margin after DB unclip, as a fraction of box height. The stride-2
+    # prob map quantizes 1-2 px per edge off small-text boxes (clipping
+    # first/last glyphs + descenders); 0.65 measured best on the form/plain
+    # e2e grid (forms CER 0.28 -> 0.13 vs 0.2): generous margins cost the
+    # recognizer nothing (padding is masked) while clipped glyphs are
+    # unrecoverable.
+    det_box_pad_ratio: float = 0.65  # horizontal margin
+    det_box_pad_ratio_y: float | None = None  # vertical margin (None: same)
+    # snap DB box extents to the page's ink before padding — measured WORSE
+    # than generous blind padding (walks into neighbors at small gaps);
+    # kept as an option for sparse-layout documents
+    det_ink_snap: bool = False
     rec_image_height: int = 48
     rec_charset: str = "latin"  # latin | devanagari | multilingual
     rec_width_buckets: tuple[int, ...] = (80, 160, 320, 640)

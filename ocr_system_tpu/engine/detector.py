@@ -208,11 +208,24 @@ class Detector:
                     clip_wh=(w, h),
                     max_boxes=s.max_boxes_per_page,
                 )
-                # proportional margin: DB's shrink/unclip asymmetry leaves
-                # thin lines under-height, clipping ascenders/descenders
-                # that recognition needs
+                # ink-snap + proportional margin: DB's stride-2 prob map
+                # quantizes tiny-text box edges; snap extents to the actual
+                # ink, then pad a small margin for the recognizer
+                if s.det_ink_snap:
+                    from ocr_system_tpu.engine.recognizer import _to_gray
+                    from ocr_system_tpu.ops.sampling import (
+                        quads_are_axis_aligned,
+                    )
+
+                    gray_page = _to_gray(pages[i])
+                    for b in boxes:
+                        if quads_are_axis_aligned(b.quad[None]):
+                            _ink_snap(gray_page, b.quad)
                 for b in boxes:
-                    _pad_quad(b.quad, s.det_box_pad_ratio, w, h)
+                    _pad_quad(
+                        b.quad, s.det_box_pad_ratio, w, h,
+                        ratio_y=s.det_box_pad_ratio_y,
+                    )
                 results[i] = DetResult(
                     boxes=boxes,
                     skew_angle=float(applied[j]),
@@ -274,13 +287,79 @@ class Detector:
         )
 
 
-def _pad_quad(quad: np.ndarray, ratio: float, page_w: float, page_h: float) -> None:
-    """In-place proportional expansion of a (4,2) quad, clipped to the page."""
+def _ink_snap(
+    gray: np.ndarray, quad: np.ndarray, max_walk_ratio: float = 1.2
+) -> None:
+    """Snap an axis-aligned quad's extents to the ink it covers, in place.
+
+    The DB probability map travels at stride 2, so tiny-text boxes lose
+    1-2 px per edge to quantization — enough to clip ascenders/descenders
+    and the first/last glyph, which costs recognition dearly (measured:
+    classical ink-mask boxes at the same recall scored page CER 0.088 vs
+    0.28 for raw DB boxes on small-font forms). Walk each edge outward
+    while it still meets ink (bounded by max_walk_ratio x box height), then
+    pull each edge inward to the tight ink bound.
+    """
+    h, w = gray.shape
+    x0 = int(np.clip(quad[:, 0].min(), 0, w - 1))
+    x1 = int(np.clip(quad[:, 0].max(), x0 + 1, w))
+    y0 = int(np.clip(quad[:, 1].min(), 0, h - 1))
+    y1 = int(np.clip(quad[:, 1].max(), y0 + 1, h))
+    box_h = y1 - y0
+    walk = max(int(box_h * max_walk_ratio), 2)
+    # local background/ink threshold from the window
+    wy0, wy1 = max(y0 - walk, 0), min(y1 + walk, h)
+    wx0, wx1 = max(x0 - walk, 0), min(x1 + walk, w)
+    win = gray[wy0:wy1, wx0:wx1]
+    if win.size == 0:
+        return
+    bg = float(np.percentile(win, 90))
+    ink_t = max(bg - 50.0, (float(win.min()) + bg) / 2.0)
+    dark_cols = (win < ink_t).sum(axis=0)
+    dark_rows_full = win < ink_t
+
+    def col_dark(x):  # page x -> ink pixels in that column of the window
+        return dark_cols[x - wx0] > 0
+
+    # horizontal: walk outward over connected ink (recovers clipped first/
+    # last glyphs), stopping at the first blank column (inter-word gap)
+    nx0 = x0
+    while nx0 - 1 >= wx0 and col_dark(nx0 - 1):
+        nx0 -= 1
+    nx1 = x1
+    while nx1 < wx1 - 1 and col_dark(min(nx1, wx1 - 1)):
+        nx1 += 1
+    # vertical: tight ink rows within the (expanded) x-span
+    sub = dark_rows_full[:, nx0 - wx0 : max(nx1 - wx0, nx0 - wx0 + 1)]
+    rows = np.nonzero(sub.any(axis=1))[0]
+    if len(rows) == 0:
+        return
+    ny0, ny1 = wy0 + int(rows[0]), wy0 + int(rows[-1]) + 1
+    # reject pathological growth (swallowed a ruled line / neighbor block)
+    if (ny1 - ny0) > 3.0 * box_h or (nx1 - nx0) > (x1 - x0) + 4 * box_h:
+        return
+    quad[:, 0] = [nx0, nx1, nx1, nx0]
+    quad[:, 1] = [ny0, ny0, ny1, ny1]
+
+
+def _pad_quad(
+    quad: np.ndarray,
+    ratio: float,
+    page_w: float,
+    page_h: float,
+    ratio_y: float | None = None,
+) -> None:
+    """In-place proportional expansion of a (4,2) quad, clipped to the page.
+    ratio applies horizontally; ratio_y (default: same) vertically — the
+    stride-2 prob map clips first/last glyphs horizontally more than it
+    clips ascenders, so the axes tune separately."""
     h_box = float(quad[:, 1].max() - quad[:, 1].min())
-    pad = max(ratio * h_box, 1.0)
+    pad_x = max(ratio * h_box, 1.0)
+    pad_y = max((ratio if ratio_y is None else ratio_y) * h_box, 1.0)
     center = quad.mean(axis=0, keepdims=True)
     direction = np.sign(quad - center)
-    quad += direction * pad
+    quad[:, 0] += direction[:, 0] * pad_x
+    quad[:, 1] += direction[:, 1] * pad_y
     quad[:, 0] = np.clip(quad[:, 0], 0, page_w - 1)
     quad[:, 1] = np.clip(quad[:, 1], 0, page_h - 1)
 
