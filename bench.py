@@ -121,6 +121,10 @@ def main() -> None:
         rec_checkpoint=ckpt("checkpoints/rec_latin"),
         enable_deskew=True,
         enable_contrast_enhancement=True,
+        # page upload dominates the wave (tunnel-bound); 4-bit wire is
+        # detection-equivalent on high-contrast documents (tests/test_engine
+        # TestWire4) and halves it
+        det_wire_bits=int(os.environ.get("BENCH_WIRE_BITS", "4")),
         storage_root="storage",
     )
     engine = JaxOCREngine(settings)
