@@ -136,6 +136,18 @@ def main() -> None:
         for i in range(n_pages)
     ]
 
+    # single-page pre-probe FIRST: 0.5 MB of upload instead of 7 — when the
+    # tunnel browns out (observed 0.06 MB/s episodes), this still lands a
+    # real nonzero measurement before the watchdog fires
+    t = time.perf_counter()
+    engine.process_pages(pages[:1])
+    _note(f"1-page warmup in {time.perf_counter() - t:.1f}s")
+    t = time.perf_counter()
+    engine.process_pages(pages[:1])
+    dt = time.perf_counter() - t
+    _record(1.0 / dt / n_chips)
+    _note(f"1-page probe: {dt:.2f}s -> {_best['value']} pages/s/chip")
+
     # warmup: one wave compiles det fwd + rec fwd (cache hit after run #1)
     t = time.perf_counter()
     scheduler.process(pages[:wave])
