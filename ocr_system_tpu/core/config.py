@@ -71,6 +71,9 @@ class Settings(BaseModel):
     enable_deskew: bool = True
     enable_contrast_enhancement: bool = True
     enable_adaptive_binarization: bool = False
+    # geometric checkbox detection -> selection_mark layout boxes (Azure
+    # parity: ocr_service.py:314-321)
+    enable_selection_marks: bool = True
     max_image_dimension: int = 2000
     pdf_raster_dpi: int = 300
     jpeg_quality: int = 92

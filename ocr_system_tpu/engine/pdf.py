@@ -34,6 +34,11 @@ import numpy as np
 
 __all__ = ["render_pdf", "PdfError"]
 
+# Upper bound on any rendered dimension (page canvas or image paste target).
+# 20k px ≈ 67 inches at 300 DPI — beyond any legitimate document, and it
+# caps a single allocation at ~400 MB even for a hostile MediaBox/CTM.
+MAX_PAGE_PX = 20_000
+
 
 class PdfError(ValueError):
     pass
@@ -729,6 +734,14 @@ class _PageRenderer:
         self.scale = dpi / 72.0
         w = max(int(round((x1 - x0) * self.scale)), 1)
         h = max(int(round((y1 - y0) * self.scale)), 1)
+        # MediaBox extents are untrusted input: a hostile PDF could declare
+        # a kilometer-wide page and force a multi-GB allocation in the API
+        # process. Clamp to MAX_PAGE_PX per side, scaling proportionally.
+        shrink = MAX_PAGE_PX / max(w, h)
+        if shrink < 1.0:
+            self.scale *= shrink
+            w = max(int(round(w * shrink)), 1)
+            h = max(int(round(h * shrink)), 1)
         self.rotate = int(doc.resolve(page.get("Rotate")) or 0) % 360
         self.img = Image.new("L", (w, h), 255)
         self.draw = ImageDraw.Draw(self.img)
@@ -1127,7 +1140,10 @@ class _PageRenderer:
         ys = [c[1] for c in corners]
         x0, x1 = int(min(xs)), int(max(xs))
         y0, y1 = int(min(ys)), int(max(ys))
-        wpx, hpx = max(x1 - x0, 1), max(y1 - y0, 1)
+        # CTM scale is untrusted: clamp the resize target (a hostile PDF can
+        # place a unit-square image under a gigapixel transform)
+        wpx = min(max(x1 - x0, 1), MAX_PAGE_PX)
+        hpx = min(max(y1 - y0, 1), MAX_PAGE_PX)
         img = Image.fromarray(arr).resize((wpx, hpx), Image.BILINEAR)
         # source row 0 maps to unit y=1; flip only if the transform leaves
         # unit y=1 BELOW unit y=0 in raster space (mirrored placements)

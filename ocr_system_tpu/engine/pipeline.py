@@ -113,6 +113,16 @@ class JaxOCREngine:
         table_boxes = [
             t.to_layout_box() for t in find_tables(word_boxes, page.page_number)
         ]
+        mark_boxes: list[dict] = []
+        if self.settings.enable_selection_marks:
+            from ocr_system_tpu.engine.selection_marks import (
+                detect_selection_marks,
+                filter_marks_against_words,
+            )
+
+            mark_boxes = filter_marks_against_words(
+                detect_selection_marks(pixels, page.page_number), word_boxes
+            )
         lines = reading_order.order_blocks(blocks)
         line_boxes = [
             {
@@ -131,7 +141,7 @@ class JaxOCREngine:
             markdown=markdown,
             html="<br>\n".join(ln.text for ln in lines),
             json_content={"lines": [ln.text for ln in lines]},
-            layout_boxes=word_boxes + line_boxes + table_boxes,
+            layout_boxes=word_boxes + line_boxes + table_boxes + mark_boxes,
             page_number=page.page_number,
             page_width=float(page.width),
             page_height=float(page.height),

@@ -151,13 +151,23 @@ class Recognizer:
                 by_shape.setdefault(page.shape[:2], []).append(p_i)
 
         for shape, page_idxs in by_shape.items():
-            n_pages = len(page_idxs)
+            # pad the page dim to pow2-ish steps: a dynamic page count would
+            # otherwise make every distinct (shape, n_pages) a fresh 20-60 s
+            # remote compile (the same invariant _pad_count enforces for
+            # crop counts)
+            n_pages = _pad_count(
+                len(page_idxs), max(self.settings.det_batch_size, 1)
+            )
             stack = np.zeros((n_pages, *shape), np.uint8)
             for k, p_i in enumerate(page_idxs):
                 stack[k] = _to_gray(pages[p_i])
+            row_targets = page_idxs + [-1] * (n_pages - len(page_idxs))
+            row_quads = [quads_list[p_i] for p_i in page_idxs] + [
+                np.zeros((0, 4, 2), np.float32)
+            ] * (n_pages - len(page_idxs))
             stack_dev = jnp.asarray(stack)
             self._rec_on_stack(
-                stack_dev, shape, page_idxs, quads_list, results
+                stack_dev, shape, row_targets, row_quads, results
             )
         return [
             [r if r is not None else RecResult("", 0.0) for r in row]
@@ -176,17 +186,31 @@ class Recognizer:
         ]
         page_idxs = [i for i, q in enumerate(quads_list) if len(q) > 0]
         if page_idxs:
-            if len(page_idxs) < stack_dev.shape[0]:
-                # compact device-side gather: rows without boxes (dp padding,
-                # blank pages) would otherwise pay empty crop slots
-                stack_dev = jnp.take(
-                    stack_dev, jnp.asarray(page_idxs), axis=0
-                )
+            n_rows = stack_dev.shape[0]
+            if len(page_idxs) > n_rows // 2:
+                # most rows carry boxes: keep the full (static, per-wave)
+                # stack — compaction would make n_pages a dynamic compile
+                # dimension (a fresh 20-60 s remote compile per distinct
+                # count; ADVICE r2)
+                row_targets = [
+                    i if len(q) > 0 else -1 for i, q in enumerate(quads_list)
+                ]
+                row_quads = list(quads_list)
+            else:
+                # sparse wave (dp padding, blank pages): compact, but pad the
+                # gathered page count to pow2 steps so compile keys stay few
+                n_pad = _pad_count(len(page_idxs), n_rows)
+                sel = page_idxs + [page_idxs[0]] * (n_pad - len(page_idxs))
+                stack_dev = jnp.take(stack_dev, jnp.asarray(sel), axis=0)
+                row_targets = page_idxs + [-1] * (n_pad - len(page_idxs))
+                row_quads = [quads_list[i] for i in page_idxs] + [
+                    np.zeros((0, 4, 2), np.float32)
+                ] * (n_pad - len(page_idxs))
             self._rec_on_stack(
                 stack_dev,
                 tuple(stack_dev.shape[1:3]),
-                page_idxs,
-                quads_list,
+                row_targets,
+                row_quads,
                 results,
             )
         return [
@@ -198,28 +222,31 @@ class Recognizer:
         self,
         stack_dev,
         shape: tuple[int, int],
-        page_idxs: list[int],
-        quads_list: list[np.ndarray],
+        row_targets: list[int],
+        row_quads: list[np.ndarray],
         results: list[list[RecResult | None]],
     ) -> None:
-        """Shared core: width-bucket the quads of `page_idxs` (rows of
-        stack_dev, in order) and run the fused crop+rec+decode dispatches."""
+        """Shared core: width-bucket each stack row's quads and run the fused
+        crop+rec+decode dispatches. row_targets[k] is the results index row k
+        writes to (-1 = padding row, ignored); row_quads[k] its quads in
+        stack coords. len(row_targets) == len(row_quads) == stack rows."""
         s = self.settings
         h_rec = s.rec_image_height
         buckets = sorted(s.rec_width_buckets)
         n_pages = stack_dev.shape[0]
 
-        # bucket every (page, quad) by target width
+        # bucket every (row, quad) by target width
         per_bucket: dict[int, list[list[tuple[int, np.ndarray, float]]]] = {}
-        for k, p_i in enumerate(page_idxs):
-            quads = quads_list[p_i]
+        for k, quads in enumerate(row_quads):
+            if row_targets[k] < 0 or len(quads) == 0:
+                continue
             widths_px = np.linalg.norm(quads[:, 1] - quads[:, 0], axis=1)
             heights_px = np.linalg.norm(quads[:, 3] - quads[:, 0], axis=1)
             aspect = widths_px / np.maximum(heights_px, 1e-3)
             target_w = np.clip(aspect * h_rec, 16, buckets[-1])
             for q_i in range(len(quads)):
                 b = _first_ge(buckets, target_w[q_i])
-                group = per_bucket.setdefault(b, [[] for _ in page_idxs])
+                group = per_bucket.setdefault(b, [[] for _ in row_quads])
                 group[k].append((q_i, quads[q_i], target_w[q_i]))
 
         for bucket, groups in per_bucket.items():
@@ -263,7 +290,7 @@ class Recognizer:
                 for k, group in enumerate(groups):
                     for j, (q_i, _, _) in enumerate(group):
                         flat_i = k * n_per_page + j
-                        results[page_idxs[k]][q_i] = RecResult(
+                        results[row_targets[k]][q_i] = RecResult(
                             text=texts[flat_i], confidence=float(confs[flat_i])
                         )
 

@@ -82,23 +82,42 @@ class PageScheduler:
         if pipelined and len(waves) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
+            # det runs at most PREFETCH waves ahead of rec: each in-flight
+            # DetResult pins its device canvas stack (+ prob maps) in HBM
+            # (~1.6 MB/page at the 1280 bucket), so unbounded prefetch would
+            # grow device memory with document length. Futures are dropped
+            # as soon as rec consumes them so the canvases free promptly.
+            PREFETCH = 2
             with ThreadPoolExecutor(1, thread_name_prefix="det") as det_pool:
-                det_futs = [
-                    det_pool.submit(
-                        self.engine.det_stage, [p for _, p in wave]
+                det_futs: list = [None] * len(waves)
+                for k in range(min(PREFETCH, len(waves))):
+                    det_futs[k] = det_pool.submit(
+                        self.engine.det_stage, [p for _, p in waves[k]]
                     )
-                    for wave in waves
-                ]
-                for wave, fut in zip(waves, det_futs):
+                for w_i, wave in enumerate(waves):
                     self.stats.waves += 1
                     try:
+                        fut, det_futs[w_i] = det_futs[w_i], None
                         dets = fut.result()
+                        nxt = w_i + PREFETCH
+                        if nxt < len(waves):
+                            det_futs[nxt] = det_pool.submit(
+                                self.engine.det_stage,
+                                [p for _, p in waves[nxt]],
+                            )
                         results = self.engine.rec_stage(
                             [p for _, p in wave], dets
                         )
+                        dets = None
                         for (i, _), r in zip(wave, results):
                             outputs[i] = r
                     except Exception as e:
+                        nxt = w_i + PREFETCH
+                        if nxt < len(waves) and det_futs[nxt] is None:
+                            det_futs[nxt] = det_pool.submit(
+                                self.engine.det_stage,
+                                [p for _, p in waves[nxt]],
+                            )
                         handle_wave_failure(wave, e)
         else:
             for wave in waves:

@@ -214,6 +214,34 @@ class ExtractionOrchestrator:
                     )
         except Exception:
             logger.exception("table field merge failed (non-fatal)")
+        # selection marks (checkboxes) become checkbox fields with yes/no
+        # values (reference: Azure selection_marks feed Gemini's output and
+        # the checkbox validator, validation_service.py:404-425)
+        try:
+            from ocr_system_tpu.engine.selection_marks import marks_to_fields
+            from ocr_system_tpu.extract.types import ExtractedField
+
+            marks = [
+                b for b in ocr.combined_layout_boxes
+                if b.get("type") == "selection_mark"
+            ]
+            if marks:
+                existing = {
+                    f.field_key.lower() for f in state.extract_result.fields
+                }
+                for cb in marks_to_fields(marks, ocr.combined_layout_boxes):
+                    if cb["field_key"].lower() in existing:
+                        continue
+                    state.extract_result.fields.append(
+                        ExtractedField(
+                            field_key=cb["field_key"],
+                            field_value=cb["field_value"],
+                            field_type="checkbox",
+                            confidence=cb["confidence"],
+                        )
+                    )
+        except Exception:
+            logger.exception("selection-mark field merge failed (non-fatal)")
         state.llm_time_ms = int((time.perf_counter() - t0) * 1000)
         self._log(
             state.document_id, "llm_extraction", "completed",
