@@ -74,6 +74,9 @@ class Settings(BaseModel):
     # geometric checkbox detection -> selection_mark layout boxes (Azure
     # parity: ocr_service.py:314-321)
     enable_selection_marks: bool = True
+    # pixel-driven signature/handwriting region detection -> handwriting
+    # layout boxes + signature fields (BASELINE config 4)
+    enable_handwriting_detection: bool = True
     max_image_dimension: int = 2000
     pdf_raster_dpi: int = 300
     jpeg_quality: int = 92
@@ -126,7 +129,12 @@ class Settings(BaseModel):
     # kept as an option for sparse-layout documents
     det_ink_snap: bool = False
     rec_image_height: int = 48
-    rec_charset: str = "latin"  # latin | devanagari | multilingual
+    # "auto": detect each page's script (shirorekha heuristic, engine/
+    # script.py) and route to the matching recognizer checkpoint — one
+    # server serves Latin AND Hindi pages on the same endpoint (Azure
+    # parity: ocr_service.py:213-246). Falls back to latin when no
+    # devanagari checkpoint is configured.
+    rec_charset: str = "auto"  # auto | latin | devanagari | multilingual
     rec_width_buckets: tuple[int, ...] = (80, 160, 320, 640)
     rec_batch_size: int = 64
     det_batch_size: int = 8
@@ -137,6 +145,9 @@ class Settings(BaseModel):
     checkpoint_dir: str = "checkpoints"
     det_checkpoint: str = ""  # empty -> deterministic random init
     rec_checkpoint: str = ""
+    # devanagari recognizer for rec_charset=auto script routing; empty ->
+    # checkpoints/rec_devanagari when that directory exists
+    rec_checkpoint_devanagari: str = ""
     extract_checkpoint: str = ""
 
     # ---- computed path properties (reference: config.py:111-148 auto-create) ----

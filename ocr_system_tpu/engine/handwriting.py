@@ -1,0 +1,196 @@
+"""Handwriting / signature region detection from pixels.
+
+The reference's extraction model SEES the page image, so a signature or
+handwritten entry is extractable even though OCR returns no text for it
+(Gemini multimodal: backend/services/gemini_service.py:235-364; the
+signature validator exists in both codebases). The rebuild's extractor
+consumes OCR tokens only — so signature presence must be detected where it
+actually lives: in the pixels.
+
+Host-side geometric pass (numpy + the native CC op, like selection_marks):
+
+  ink mask -> slight dilation (connect pen strokes) -> connected
+  components -> components that are ink-sparse, non-line-like, word-box-
+  free and stroke-shaped are handwriting regions.
+
+What distinguishes a squiggle from everything else on a form page:
+  - printed TEXT is covered by recognized word boxes (we subtract them),
+  - ruled LINES / table grids concentrate their ink in a few rows/columns
+    (profile concentration test),
+  - solid logos / stamps have high fill,
+  - a signature stroke is sparse (2-px pen over a wide box), spread across
+    rows, wider than tall.
+
+Emits `{"type": "handwriting", "content": "", "confidence", "polygon",
+"page_number"}` layout boxes; service/orchestrator pairs them with
+signature-keyword labels into `signature` fields (value "signed") that the
+signature validator accepts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_system_tpu.engine.selection_marks import _components, _ink_mask
+
+MIN_W = 40
+MIN_H = 12
+MAX_ASPECT = 15.0
+MIN_ASPECT = 1.2
+MIN_FILL = 0.015
+MAX_FILL = 0.45
+MAX_WORD_OVERLAP = 0.35
+# line-likeness: fraction of ink captured by the densest 3 rows (or cols)
+MAX_PROFILE_CONC = 0.75
+
+SIGNATURE_KEYWORDS = (
+    "signature", "signed", "sign here", "initials", "authorised by",
+    "authorized by", "हस्ताक्षर",
+)
+
+
+def _dilate(mask: np.ndarray, k: int = 3) -> np.ndarray:
+    try:
+        import cv2
+
+        return cv2.dilate(mask, np.ones((k, k), np.uint8), iterations=1)
+    except ImportError:
+        out = mask.copy()
+        for s in range(1, k // 2 + 1):
+            out[s:, :] |= mask[:-s, :]
+            out[:-s, :] |= mask[s:, :]
+            out[:, s:] |= mask[:, :-s]
+            out[:, :-s] |= mask[:, s:]
+        return out
+
+
+def detect_handwriting(
+    page: np.ndarray,
+    word_boxes: list[dict],
+    page_number: int = 1,
+    max_dim: int = 64,
+) -> list[dict]:
+    """page: (H, W[, 3]) uint8; word_boxes: recognized TEXT boxes to
+    subtract. -> handwriting layout boxes."""
+    raw = _ink_mask(np.ascontiguousarray(page))
+    h, w = raw.shape
+    # subtract recognized text regions before connecting components, so a
+    # squiggle that grazes a printed label stays its own component
+    mask = raw.copy()
+    for wb in word_boxes:
+        if wb.get("type") != "word" or not wb.get("content", "").strip():
+            continue
+        px = wb["polygon"][0::2]
+        py = wb["polygon"][1::2]
+        x0 = int(np.clip(min(px) - 1, 0, w))
+        x1 = int(np.clip(max(px) + 2, 0, w))
+        y0 = int(np.clip(min(py) - 1, 0, h))
+        y1 = int(np.clip(max(py) + 2, 0, h))
+        mask[y0:y1, x0:x1] = 0
+    labels, n, bboxes = _components(_dilate(mask))
+    marks: list[dict] = []
+    page_diag = max(h, w)
+    for comp in range(1, n + 1):
+        x0, y0, x1, y1 = (int(v) for v in bboxes[comp])
+        cw, ch = x1 - x0 + 1, y1 - y0 + 1
+        if cw < MIN_W or ch < MIN_H or ch > page_diag // 4:
+            continue
+        aspect = cw / ch
+        if not (MIN_ASPECT <= aspect <= MAX_ASPECT):
+            continue
+        comp_mask = labels[y0: y1 + 1, x0: x1 + 1] == comp
+        # fill measured on the RAW (undilated) ink inside the component box
+        ink = raw[y0: y1 + 1, x0: x1 + 1].astype(bool) & comp_mask
+        total = int(ink.sum())
+        fill = total / max(cw * ch, 1)
+        if not (MIN_FILL <= fill <= MAX_FILL) or total < 60:
+            continue
+        # line/grid rejection, two tests:
+        # (a) ink concentrated in a few rows/cols (single rules),
+        # (b) most ink lying on full-span rows/cols (ruled table grids —
+        #     each grid line individually is a near-full-width row or
+        #     near-full-height column of ink)
+        rows = ink.sum(axis=1).astype(np.float64)
+        cols = ink.sum(axis=0).astype(np.float64)
+        row_conc = float(np.sort(rows)[-3:].sum() / max(total, 1))
+        col_conc = float(np.sort(cols)[-3:].sum() / max(total, 1))
+        if row_conc > MAX_PROFILE_CONC or col_conc > MAX_PROFILE_CONC:
+            continue
+        line_mass = float(rows[rows >= 0.8 * cw].sum()
+                          + cols[cols >= 0.8 * ch].sum())
+        if line_mass / max(total, 1) > 0.6:
+            continue
+        # stroke must span a healthy share of its rows (squiggles wander)
+        if float((rows > 0).mean()) < 0.5:
+            continue
+        conf = round(float(min(0.5 + (1.0 - row_conc) * 0.5, 0.95)), 4)
+        marks.append(
+            {
+                "type": "handwriting",
+                "content": "",
+                "confidence": conf,
+                "polygon": [
+                    float(x0), float(y0), float(x1 + 1), float(y0),
+                    float(x1 + 1), float(y1 + 1), float(x0), float(y1 + 1),
+                ],
+                "page_number": page_number,
+            }
+        )
+    return marks
+
+
+def handwriting_to_fields(
+    hand_boxes: list[dict], layout_boxes: list[dict]
+) -> list[dict]:
+    """Pair signature-keyword labels with nearby handwriting boxes ->
+    signature field dicts (value "signed", accepted by validate_signature).
+    Search: for each label word run containing a keyword, a handwriting box
+    to its right on the same row, or below it, within ~3 label heights."""
+    words = [b for b in layout_boxes
+             if b.get("type") in ("word", "line")
+             and b.get("content", "").strip()]
+    fields: list[dict] = []
+    used: set[int] = set()
+    for wb in words:
+        content = wb["content"].strip().lower()
+        if not any(k in content for k in SIGNATURE_KEYWORDS):
+            continue
+        wx = wb["polygon"][0::2]
+        wy = wb["polygon"][1::2]
+        w_x0, w_x1 = min(wx), max(wx)
+        w_y0, w_y1 = min(wy), max(wy)
+        w_h = max(w_y1 - w_y0, 1.0)
+        best = None
+        best_d = None
+        for i, hb in enumerate(hand_boxes):
+            if i in used or hb.get("page_number") != wb.get("page_number"):
+                continue
+            hx = hb["polygon"][0::2]
+            hy = hb["polygon"][1::2]
+            h_x0, h_y0 = min(hx), min(hy)
+            h_yc = (min(hy) + max(hy)) / 2.0
+            same_row = abs(h_yc - (w_y0 + w_y1) / 2.0) < w_h * 1.5
+            right_d = h_x0 - w_x1
+            below = h_y0 - w_y1
+            if same_row and -w_h <= right_d <= w_h * 20:
+                d = max(right_d, 0.0)
+            elif -w_h * 2 <= below <= w_h * 3.5 and h_x0 < w_x1 + w_h * 20:
+                d = max(below, 0.0) + w_h  # below: small penalty
+            else:
+                continue
+            if best_d is None or d < best_d:
+                best, best_d = i, d
+        if best is None:
+            continue
+        used.add(best)
+        key = wb["content"].strip().rstrip(":")
+        fields.append(
+            {
+                "field_key": key,
+                "field_value": "signed",
+                "field_type": "signature",
+                "confidence": hand_boxes[best]["confidence"],
+                "page_number": wb.get("page_number", 1),
+            }
+        )
+    return fields

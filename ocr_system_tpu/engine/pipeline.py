@@ -76,13 +76,77 @@ class JaxOCREngine:
         self.settings = settings or get_settings()
         self.detector = detector or Detector(self.settings)
         self.recognizer = recognizer or Recognizer(self.settings)
+        # script routing (rec_charset=auto): per-script recognizers built
+        # lazily — the devanagari one only when its checkpoint exists, so a
+        # latin-only deployment pays nothing
+        self._script_recognizers: dict[str, Recognizer] = {}
+
+    # -- script routing (Azure parity: any script, one endpoint) --
+
+    def _devanagari_recognizer(self) -> Recognizer | None:
+        if "devanagari" not in self._script_recognizers:
+            import os
+
+            ckpt = self.settings.rec_checkpoint_devanagari
+            if not ckpt:
+                default = os.path.join(
+                    self.settings.checkpoint_dir, "rec_devanagari"
+                )
+                ckpt = default if os.path.isdir(default) else ""
+            if not ckpt and self.settings.rec_charset == "auto":
+                self._script_recognizers["devanagari"] = None
+            else:
+                from ocr_system_tpu.models.charsets import get_charset
+
+                s = self.settings.model_copy(
+                    update={"rec_checkpoint": ckpt}
+                )
+                self._script_recognizers["devanagari"] = Recognizer(
+                    s, charset=get_charset("devanagari")
+                )
+        return self._script_recognizers["devanagari"]
+
+    def _route_and_normalize(self, pages, dets) -> list[Recognizer]:
+        """Per-page recognizer choice + Devanagari box re-segmentation.
+        Routing activates under rec_charset=auto when a devanagari
+        recognizer is available; otherwise every page uses the primary."""
+        n = len(pages)
+        if self.settings.rec_charset not in ("auto", "devanagari"):
+            return [self.recognizer] * n
+        from ocr_system_tpu.engine import script as script_mod
+
+        deva = (
+            self.recognizer
+            if self.settings.rec_charset == "devanagari"
+            else self._devanagari_recognizer()
+        )
+        if deva is None:
+            return [self.recognizer] * n
+        out = []
+        for p, d in zip(pages, dets):
+            pixels = d.page if d.page is not None else p.pixels
+            quads = np.array(
+                [b.quad for b in d.boxes], np.float32
+            ).reshape(-1, 4, 2)
+            if self.settings.rec_charset == "devanagari":
+                sc = "devanagari"
+            else:
+                sc = script_mod.page_script(pixels, quads)
+            if sc == "devanagari":
+                d.boxes = script_mod.resegment_devanagari(
+                    pixels, d.boxes,
+                    pad_ratio=self.settings.det_box_pad_ratio,
+                    pad_ratio_y=self.settings.det_box_pad_ratio_y,
+                )
+                out.append(deva)
+            else:
+                out.append(self.recognizer)
+        return out
 
     # -- single page --
 
     def process_page(self, page: PageImage) -> OCROutput:
-        t0 = time.perf_counter()
-        det = self.detector.detect_batch([page.pixels])[0]
-        return self._finish_page(page, det, t0)
+        return self.process_pages([page])[0]
 
     def _finish_page(self, page: PageImage, det, t0: float, recs=None) -> OCROutput:
         # crops and the overlay image come from the DESKEWED page the boxes
@@ -122,6 +186,12 @@ class JaxOCREngine:
 
             mark_boxes = filter_marks_against_words(
                 detect_selection_marks(pixels, page.page_number), word_boxes
+            )
+        if self.settings.enable_handwriting_detection:
+            from ocr_system_tpu.engine.handwriting import detect_handwriting
+
+            mark_boxes += detect_handwriting(
+                pixels, word_boxes, page.page_number
             )
         lines = reading_order.order_blocks(blocks)
         line_boxes = [
@@ -198,17 +268,44 @@ class JaxOCREngine:
         self, pages: list[PageImage], dets, t0: float | None = None
     ) -> list[OCROutput]:
         t0 = time.perf_counter() if t0 is None else t0
+        recognizers = self._route_and_normalize(pages, dets)
         quads_list = [
             np.array([b.quad for b in d.boxes], np.float32).reshape(-1, 4, 2)
             for d in dets
         ]
-        recs_list = self._recognize(pages, dets, quads_list)
+        recs_list = self._recognize(pages, dets, quads_list, recognizers)
         return [
             self._finish_page(p, d, t0, recs=r)
             for p, d, r in zip(pages, dets, recs_list)
         ]
 
-    def _recognize(self, pages, dets, quads_list):
+    def _recognize(self, pages, dets, quads_list, recognizers=None):
+        """Dispatch recognition, grouped by the per-page recognizer the
+        script router chose (a wave is usually single-script: one dispatch;
+        mixed Latin+Hindi waves pay one dispatch per script present)."""
+        if recognizers is None:
+            recognizers = [self.recognizer] * len(pages)
+        groups: dict[int, tuple[Recognizer, list[int]]] = {}
+        for i, r in enumerate(recognizers):
+            groups.setdefault(id(r), (r, []))[1].append(i)
+        if len(groups) <= 1:
+            return self._recognize_with(
+                next(iter(groups.values()))[0] if groups else self.recognizer,
+                pages, dets, quads_list,
+            )
+        empty = np.zeros((0, 4, 2), np.float32)
+        out: list = [None] * len(pages)
+        for rec, idxs in groups.values():
+            keep = set(idxs)
+            masked = [
+                q if i in keep else empty for i, q in enumerate(quads_list)
+            ]
+            sub = self._recognize_with(rec, pages, dets, masked)
+            for i in idxs:
+                out[i] = sub[i]
+        return out
+
+    def _recognize_with(self, recognizer, pages, dets, quads_list):
         """Route recognition through the det stage's device-resident canvases
         when they carry full page resolution (one page upload per wave
         instead of two — the tunnel wire is the throughput ceiling, see
@@ -223,7 +320,7 @@ class JaxOCREngine:
                 d.page if d.page is not None else p.pixels
                 for p, d in zip(pages, dets)
             ]
-            return self.recognizer.recognize_pages(rec_pages, quads_list)
+            return recognizer.recognize_pages(rec_pages, quads_list)
 
         stack = dets[0].canvas_stack
         row_quads: list[np.ndarray] = [
@@ -231,7 +328,7 @@ class JaxOCREngine:
         ] * stack.shape[0]
         for d, q in zip(dets, quads_list):
             row_quads[d.canvas_row] = (q * d.canvas_scale).astype(np.float32)
-        row_recs = self.recognizer.recognize_on_device_stack(stack, row_quads)
+        row_recs = recognizer.recognize_on_device_stack(stack, row_quads)
         return [row_recs[d.canvas_row] for d in dets]
 
     def get_status(self) -> dict:

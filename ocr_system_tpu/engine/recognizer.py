@@ -44,7 +44,12 @@ class Recognizer:
         seed: int = 0,
     ):
         self.settings = settings or get_settings()
-        self.charset = charset or get_charset(self.settings.rec_charset)
+        # "auto" is an ENGINE routing mode (pipeline builds one recognizer
+        # per script); a bare Recognizer under auto is the latin primary
+        name = self.settings.rec_charset
+        self.charset = charset or get_charset(
+            "latin" if name == "auto" else name
+        )
         policy = DTypePolicy.from_names(
             self.settings.compute_dtype, self.settings.param_dtype
         )

@@ -1,0 +1,262 @@
+"""Per-page script detection + Devanagari word re-segmentation.
+
+Azure serves any script on one endpoint with zero configuration (reference:
+backend/services/ocr_service.py:213-246 — the Hindi test image and Latin
+invoices hit the same `begin_analyze_document` call). The rebuild's
+recognizers are per-charset, so serving parity needs two host-side pieces:
+
+1. `page_script`: classify a detected page as latin/devanagari so the
+   engine can route its crops to the right recognizer checkpoint. The
+   discriminating feature is the shirorekha — the headline stroke that runs
+   along the top of Devanagari words. Latin text has no near-full-width
+   horizontal ink run in its upper band; Devanagari words almost always do.
+
+2. `resegment_devanagari`: DBNet trained on Latin-word shrink maps both
+   merges Devanagari words (the stride-2 prob map bridges small gaps) and
+   splits them mid-conjunct. Round 2 measured the damage at 25.8% e2e CER
+   against a 2.3% recognizer CER — the boxes, not the recognizer, were
+   broken. The fix is geometric, not learned: cluster det boxes into rows,
+   merge same-row chains into line segments, then split each segment at the
+   column-ink gaps that survive under the shirorekha (between words the
+   headline breaks, so true word gaps stay empty; within a word the
+   headline fills every column).
+
+Both run on host numpy over a handful of crops — control-flow-heavy tiny
+work, exactly what SURVEY §7 keeps off the device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_system_tpu.ops.boxes import DetectedBox
+
+# shirorekha detection: a row in the top band with a CONTIGUOUS ink run much
+# wider than the glyph height. Contiguity is what separates it from Latin
+# cap-tops ("TOTAL" has high row coverage but the run breaks at every
+# letter gap).
+HEADLINE_MIN_RUN_X_HEIGHT = 1.8  # longest run >= this multiple of ink height
+HEADLINE_TOP_BAND = 0.55  # search the top 55% of box rows
+PAGE_DEVA_FRACTION = 0.45  # boxes with headlines needed to call a page Hindi
+
+# word splitting: an empty column run at least this fraction of ink height.
+# Under the shirorekha within-word columns carry ink (the headline itself);
+# fonts whose headline nicks at glyph joins leave ~0.1h holes, while true
+# word spaces run ~0.25h — 0.18 sits between.
+WORD_GAP_RATIO = 0.18
+MERGE_GAP_RATIO = 0.35  # same-row boxes closer than this merge into a line
+
+
+def _to_gray(page: np.ndarray) -> np.ndarray:
+    if page.ndim == 2:
+        return page
+    return (
+        0.299 * page[..., 0] + 0.587 * page[..., 1] + 0.114 * page[..., 2]
+    ).astype(np.uint8)
+
+
+def _crop_aabb(gray: np.ndarray, quad: np.ndarray) -> np.ndarray:
+    h, w = gray.shape
+    x0 = int(np.clip(quad[:, 0].min(), 0, w - 1))
+    x1 = int(np.clip(quad[:, 0].max() + 1, x0 + 1, w))
+    y0 = int(np.clip(quad[:, 1].min(), 0, h - 1))
+    y1 = int(np.clip(quad[:, 1].max() + 1, y0 + 1, h))
+    return gray[y0:y1, x0:x1]
+
+
+def _ink(crop: np.ndarray) -> np.ndarray:
+    """Local binarization: ink = darker than the crop's bimodal midpoint."""
+    if crop.size == 0:
+        return np.zeros_like(crop)
+    lo = float(np.percentile(crop, 5))
+    hi = float(np.percentile(crop, 90))
+    if hi - lo < 25:  # blank-ish crop
+        return np.zeros_like(crop, dtype=bool)
+    return crop < (lo + hi) / 2.0
+
+
+def _longest_run(row: np.ndarray, bridge: int = 1) -> int:
+    """Longest consecutive True run, tolerating gaps <= `bridge` px (raster
+    aliasing can nick a 1-px hole in a thin stroke)."""
+    best = cur = gap = 0
+    for v in row:
+        if v:
+            cur += gap + 1
+            gap = 0
+            best = max(best, cur)
+        else:
+            gap += 1
+            if gap > bridge:
+                cur = 0
+                gap = 0
+    return best
+
+
+def has_headline(crop: np.ndarray) -> bool:
+    """True when the crop shows a shirorekha: a contiguous horizontal ink
+    run in the upper band much wider than the glyph height. `crop` is a
+    gray uint8 sub-image of one text box."""
+    ink = _ink(crop)
+    h, w = ink.shape
+    if h < 6 or w < 12:
+        return False
+    rows_ink = np.nonzero(ink.any(axis=1))[0]
+    cols = ink.any(axis=0)
+    if len(rows_ink) == 0 or cols.sum() < 8:
+        return False
+    ink_h = int(rows_ink[-1]) - int(rows_ink[0]) + 1
+    xs = np.nonzero(cols)[0]
+    x0, x1 = int(xs[0]), int(xs[-1]) + 1
+    if x1 - x0 < 10 or ink_h < 6:
+        return False
+    band_end = int(rows_ink[0]) + max(int(ink_h * HEADLINE_TOP_BAND), 2)
+    band = ink[int(rows_ink[0]): band_end, x0:x1]
+    need = HEADLINE_MIN_RUN_X_HEIGHT * ink_h
+    return any(_longest_run(band[r]) >= need for r in range(band.shape[0]))
+
+
+def page_script(
+    page: np.ndarray, quads: np.ndarray, sample: int = 12
+) -> str:
+    """Classify a page's dominant script from a sample of its text boxes.
+    quads: (N, 4, 2) in page coords. -> "latin" | "devanagari"."""
+    if len(quads) == 0:
+        return "latin"
+    gray = _to_gray(page)
+    # sample the LARGEST boxes: they carry the most readable evidence
+    areas = [
+        float((q[:, 0].max() - q[:, 0].min()) * (q[:, 1].max() - q[:, 1].min()))
+        for q in quads
+    ]
+    order = np.argsort(areas)[::-1][: max(sample, 1)]
+    hits = sum(1 for i in order if has_headline(_crop_aabb(gray, quads[i])))
+    return "devanagari" if hits >= PAGE_DEVA_FRACTION * len(order) else "latin"
+
+
+def _rows_from_boxes(boxes: list[DetectedBox]) -> list[list[DetectedBox]]:
+    """Cluster boxes into text rows by y-center proximity (0.5x avg height,
+    mirroring engine/reading_order.py)."""
+    items = sorted(boxes, key=lambda b: float(b.quad[:, 1].min()))
+    if not items:
+        return []
+    heights = [float(b.quad[:, 1].max() - b.quad[:, 1].min()) for b in items]
+    tol = 0.5 * max(sum(heights) / len(heights), 1.0)
+    rows: list[list[DetectedBox]] = []
+    for b in items:
+        yc = float(b.quad[:, 1].mean())
+        for row in rows:
+            ry = sum(float(x.quad[:, 1].mean()) for x in row) / len(row)
+            if abs(yc - ry) <= tol:
+                row.append(b)
+                break
+        else:
+            rows.append([b])
+    return rows
+
+
+def resegment_devanagari(
+    page: np.ndarray,
+    boxes: list[DetectedBox],
+    pad_ratio: float = 0.0,
+    pad_ratio_y: float | None = None,
+) -> list[DetectedBox]:
+    """Merge-then-split normalization of det boxes on a Devanagari page.
+
+    1. same-row boxes whose gap is < MERGE_GAP_RATIO x height merge into one
+       line segment (repairs mid-word splits),
+    2. each segment splits at empty-column runs >= WORD_GAP_RATIO x height
+       (repairs merged words — between words the shirorekha breaks, so the
+       gap columns are genuinely empty),
+    3. each word gets tight ink y-extents plus the detector's configured
+       margins (same contract as detector._pad_quad).
+    """
+    if not boxes:
+        return boxes
+    gray = _to_gray(page)
+    ph, pw = gray.shape
+    out: list[DetectedBox] = []
+    for row in _rows_from_boxes(boxes):
+        row.sort(key=lambda b: float(b.quad[:, 0].min()))
+        # merge chains
+        chains: list[list[DetectedBox]] = [[row[0]]]
+        for b in row[1:]:
+            prev = chains[-1][-1]
+            h = float(prev.quad[:, 1].max() - prev.quad[:, 1].min())
+            gap = float(b.quad[:, 0].min()) - float(prev.quad[:, 0].max())
+            if gap < MERGE_GAP_RATIO * max(h, 1.0):
+                chains[-1].append(b)
+            else:
+                chains.append([b])
+        for chain in chains:
+            x0 = int(np.clip(min(float(b.quad[:, 0].min()) for b in chain), 0, pw - 1))
+            x1 = int(np.clip(max(float(b.quad[:, 0].max()) for b in chain) + 1, x0 + 1, pw))
+            y0 = int(np.clip(min(float(b.quad[:, 1].min()) for b in chain), 0, ph - 1))
+            y1 = int(np.clip(max(float(b.quad[:, 1].max()) for b in chain) + 1, y0 + 1, ph))
+            score = float(np.mean([b.score for b in chain]))
+            ink = _ink(gray[y0:y1, x0:x1])
+            if not ink.any():
+                out.extend(chain)  # blank: keep original boxes
+                continue
+            # det boxes arrive PADDED (detector pad_ratio ~0.65h), so the
+            # chain's y-range bleeds into neighboring text rows. Restrict
+            # to the dominant ink row band (the contiguous run with the
+            # most ink) before profiling, or neighbor rows fill the word
+            # gaps and the y-extents span two lines.
+            row_mass = ink.sum(axis=1)
+            bands = []
+            start = None
+            for ri, m in enumerate(row_mass):
+                if m > 0 and start is None:
+                    start = ri
+                elif m == 0 and start is not None:
+                    bands.append((start, ri))
+                    start = None
+            if start is not None:
+                bands.append((start, len(row_mass)))
+            b0, b1 = max(bands, key=lambda b: row_mass[b[0]: b[1]].sum())
+            ink = ink[b0:b1]
+            y0 = y0 + b0
+            cols = ink.any(axis=0)
+            if not cols.any():
+                out.extend(chain)
+                continue
+            rows_ink = np.nonzero(ink.any(axis=1))[0]
+            ink_h = int(rows_ink[-1]) - int(rows_ink[0]) + 1
+            # 5-px floor: glyph-join headline nicks measure ~4 px at form
+            # font sizes with the programmatic font; true spaces are wider
+            min_gap = max(int(WORD_GAP_RATIO * ink_h), 5)
+            # empty-column runs -> split points
+            segments: list[tuple[int, int]] = []
+            xs = np.nonzero(cols)[0]
+            seg_start = int(xs[0])
+            prev_x = int(xs[0])
+            for x in xs[1:]:
+                if int(x) - prev_x - 1 >= min_gap:
+                    segments.append((seg_start, prev_x + 1))
+                    seg_start = int(x)
+                prev_x = int(x)
+            segments.append((seg_start, prev_x + 1))
+            for sx0, sx1 in segments:
+                seg_ink = ink[:, sx0:sx1]
+                seg_rows = np.nonzero(seg_ink.any(axis=1))[0]
+                if len(seg_rows) == 0 or sx1 - sx0 < 3:
+                    continue
+                sy0 = y0 + int(seg_rows[0])
+                sy1 = y0 + int(seg_rows[-1]) + 1
+                h_box = float(sy1 - sy0)
+                pad_x = max(pad_ratio * h_box, 1.0)
+                pad_y = max(
+                    (pad_ratio if pad_ratio_y is None else pad_ratio_y)
+                    * h_box,
+                    1.0,
+                )
+                qx0 = float(np.clip(x0 + sx0 - pad_x, 0, pw - 1))
+                qx1 = float(np.clip(x0 + sx1 + pad_x, qx0 + 1, pw - 1))
+                qy0 = float(np.clip(sy0 - pad_y, 0, ph - 1))
+                qy1 = float(np.clip(sy1 + pad_y, qy0 + 1, ph - 1))
+                quad = np.array(
+                    [[qx0, qy0], [qx1, qy0], [qx1, qy1], [qx0, qy1]],
+                    np.float32,
+                )
+                out.append(DetectedBox(quad=quad, score=score))
+    return out

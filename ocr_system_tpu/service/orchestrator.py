@@ -242,6 +242,43 @@ class ExtractionOrchestrator:
                     )
         except Exception:
             logger.exception("selection-mark field merge failed (non-fatal)")
+        # handwriting boxes + signature-keyword labels -> signature fields
+        # (BASELINE config 4: the reference's Gemini reads signature
+        # presence from pixels; here the engine's handwriting detector does)
+        try:
+            from ocr_system_tpu.engine.handwriting import (
+                handwriting_to_fields,
+            )
+            from ocr_system_tpu.extract.types import ExtractedField
+
+            hand = [
+                b for b in ocr.combined_layout_boxes
+                if b.get("type") == "handwriting"
+            ]
+            if hand:
+                existing = {
+                    f.field_key.lower() for f in state.extract_result.fields
+                    if f.field_value.strip()
+                }
+                for sf in handwriting_to_fields(
+                    hand, ocr.combined_layout_boxes
+                ):
+                    if sf["field_key"].lower() in existing:
+                        continue
+                    state.extract_result.fields = [
+                        f for f in state.extract_result.fields
+                        if f.field_key.lower() != sf["field_key"].lower()
+                    ]
+                    state.extract_result.fields.append(
+                        ExtractedField(
+                            field_key=sf["field_key"],
+                            field_value=sf["field_value"],
+                            field_type="signature",
+                            confidence=sf["confidence"],
+                        )
+                    )
+        except Exception:
+            logger.exception("handwriting field merge failed (non-fatal)")
         state.llm_time_ms = int((time.perf_counter() - t0) * 1000)
         self._log(
             state.document_id, "llm_extraction", "completed",

@@ -223,6 +223,7 @@ def evaluate_form_extraction(
     noise_rate: float = 0.03,
     page_size: int = 960,
     seed: int = 31337,
+    generator=None,
 ) -> FieldEvalResult:
     """Field-pair F1 on held-out structured synthetic forms with OCR noise.
 
@@ -241,15 +242,20 @@ def evaluate_form_extraction(
 
     from ocr_system_tpu.training import synth_forms as SF
 
-    gen = SF.FormGenerator(seed=seed)
+    # `generator`: any .generate(size)->FormSpec source — pass
+    # synth_forms_heldout.HeldoutFormGenerator for the out-of-family eval
+    # (disjoint layout conventions + key vocabulary; round-2 verdict #5)
+    gen = generator or SF.FormGenerator(seed=seed)
     rng = random.Random(seed + 1)
     tp = fp = fn = 0
     form_type_hits = 0
+    from ocr_system_tpu.engine.handwriting import handwriting_to_fields
+
     for _ in range(n_docs):
         spec = SF.noisy_spec(gen.generate(page_size), rng, noise_rate)
         text = SF.spec_ocr_text(spec)
+        word_boxes = SF.spec_to_word_boxes(spec)
         if hasattr(extractor, "extract_from_layout"):
-            word_boxes = SF.spec_to_word_boxes(spec)
             result = extractor.extract_from_layout(
                 word_boxes, (page_size, page_size), ocr_text=text
             )
@@ -263,6 +269,11 @@ def evaluate_form_extraction(
             for f in result.fields
             if f.field_key.strip() and f.field_value.strip()
         }
+        # pixel path (mirrors service/orchestrator): handwriting boxes +
+        # signature labels -> signature fields no token extractor can see
+        hand = [b for b in word_boxes if b.get("type") == "handwriting"]
+        for sf in handwriting_to_fields(hand, word_boxes):
+            got[_norm_key(sf["field_key"])] = _norm_val(sf["field_value"])
         for k, v in got.items():
             if truth.get(k) == v:
                 tp += 1

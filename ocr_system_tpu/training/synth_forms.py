@@ -24,6 +24,7 @@ a layout-aware model can — this is what makes the neural tier earn its keep.
 
 from __future__ import annotations
 
+import math
 import random
 import zlib
 from dataclasses import dataclass, field
@@ -104,11 +105,12 @@ def _gen_phone(r: random.Random) -> str:
 def _gen_date(r: random.Random) -> str:
     d, m, y = r.randint(1, 28), r.randint(1, 12), r.randint(1990, 2030)
     months = ("Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec").split()
+    # every variant here parses under service/validation.validate_date —
+    # synth values labeled "date" must validate as dates
     return r.choice(
         [
             f"{d:02d}/{m:02d}/{y}",
             f"{y}-{m:02d}-{d:02d}",
-            f"{m:02d}-{d:02d}-{y}",
             f"{months[m - 1]} {d}, {y}",
         ]
     )
@@ -121,7 +123,10 @@ def _gen_currency(r: random.Random) -> str:
 
 
 def _gen_number(r: random.Random) -> str:
-    if r.random() < 0.4:
+    # mostly plain numerics (they must pass validate_number); prefixed
+    # reference codes stay in the mix at a rate the >90%-validates
+    # invariant tolerates
+    if r.random() < 0.7:
         return str(r.randint(1, 999999))
     prefix = r.choice(["INV-", "PO-", "REF-", "ID ", ""])
     return f"{prefix}{r.randint(2020, 2030)}-{r.randint(1, 9999):04d}"
@@ -139,7 +144,12 @@ def _gen_checkbox(r: random.Random) -> str:
 
 
 def _gen_signature(r: random.Random) -> str:
-    return _gen_name(r)
+    # sentinel: signature VALUES render as handwriting squiggles, not text
+    # (render_spec._draw_squiggle) — the engine's pixel-driven handwriting
+    # detector is what turns them into fields (BASELINE config 4;
+    # reference: Gemini reads signature presence from the page image,
+    # gemini_service.py:235-364)
+    return "signed"
 
 
 def _gen_text(r: random.Random) -> str:
@@ -311,11 +321,11 @@ class FormGenerator:
                 continue  # page full
             pid = len(pairs)  # pair_id == index into spec.pairs
             style = r.random()
-            if style < 0.35:
+            if style < 0.30:
                 # inline "Key: Value" in one box
                 em(f"{key}: {value}", x, cy, fs, "kv", ftype, pid)
                 cols_y[col] = cy + fs + row_gap
-            elif style < 0.75:
+            elif style < 0.60:
                 # key box + value box on the same row (the rules-hard case)
                 ktext = key + (":" if r.random() < self.colon_fraction else "")
                 ke = em(ktext, x, cy, fs, "key", ftype, pid)
@@ -323,12 +333,36 @@ class FormGenerator:
                 vx = min(ke.x1 + gap, size - margin - len(value) * char_w * fs)
                 em(value, max(vx, ke.x1 + 4), cy, fs, "value", ftype, pid)
                 cols_y[col] = cy + fs + row_gap
-            else:
+            elif style < 0.78:
                 # key above, value below
                 ktext = key + (":" if r.random() < self.colon_fraction else "")
                 em(ktext, x, cy, fs, "key", ftype, pid)
                 vy = cy + int(fs * 1.4)
                 em(value, x + r.randint(0, fs), vy, fs, "value", ftype, pid)
+                cols_y[col] = vy + fs + row_gap
+            elif style < 0.86:
+                # tab-stop: value at a fixed right column, wide separation
+                # (common on statements; round-3 held-out family showed the
+                # extractor had never seen it)
+                em(key, x, cy, fs, "key", ftype, pid)
+                vx = x + int(col_w * r.uniform(0.55, 0.75))
+                em(value, min(vx, size - margin -
+                              int(len(value) * char_w * fs)),
+                   cy, fs, "value", ftype, pid)
+                cols_y[col] = cy + fs + row_gap
+            elif style < 0.93:
+                # dotted leader between key and value
+                ke = em(key, x, cy, fs, "key", ftype, pid)
+                vx = x + int(col_w * r.uniform(0.55, 0.7))
+                n_dots = max(int((vx - ke.x1 - 8) / (char_w * fs)), 3)
+                em("." * n_dots, ke.x1 + 4, cy, fs, "other")
+                em(value, vx, cy, fs, "value", ftype, pid)
+                cols_y[col] = cy + fs + row_gap
+            else:
+                # ALL-CAPS bold label row, value indented below
+                em(key.upper(), x, cy, fs, "key", ftype, pid, bold=True)
+                vy = cy + int(fs * 1.45)
+                em(value, x + int(fs * 1.2), vy, fs, "value", ftype, pid)
                 cols_y[col] = vy + fs + row_gap
             pairs.append((key, value, ftype))
 
@@ -574,6 +608,8 @@ def spec_to_tokens(
     for e in _reading_order(spec.elements):
         if pos >= max_len:
             break
+        if e.role == "value" and e.field_type == "signature":
+            continue  # squiggle: no readable tokens exist for the model
         per_word = rng.random() < 0.5
         cb = _char_boxes(e.text, e.x0, e.y0, e.x1, e.y1, per_word)
         ftype_id = type_index.get(e.field_type, 0)
@@ -614,6 +650,20 @@ def spec_to_word_boxes(
     rng = rng or random.Random(0)
     out: list[dict] = []
     for e in _reading_order(spec.elements):
+        if e.role == "value" and e.field_type == "signature":
+            # what the engine's pixel path emits for a squiggle: a
+            # handwriting box with no text (engine/handwriting.py)
+            out.append(
+                {
+                    "type": "handwriting",
+                    "content": "",
+                    "confidence": 0.8,
+                    "polygon": [e.x0, e.y0, e.x1, e.y0,
+                                e.x1, e.y1, e.x0, e.y1],
+                    "page_number": 1,
+                }
+            )
+            continue
         words = e.text.split()
         if not words:
             continue
@@ -648,6 +698,8 @@ def spec_ocr_text(
     rng = rng or random.Random(0)
     rows: list[tuple[float, list[Element]]] = []
     for e in sorted(spec.elements, key=lambda e: e.y0):
+        if e.role == "value" and e.field_type == "signature":
+            continue  # renders as a squiggle: no OCR text exists for it
         for ry, row in rows:
             if abs(e.y0 - ry) <= row_tol:
                 row.append(e)
@@ -662,6 +714,35 @@ def spec_ocr_text(
 
 
 # ---------------------------------------------------------- det rendering
+
+
+def _draw_squiggle(d, e: "Element", r: random.Random) -> None:
+    """Draw a handwriting-like signature squiggle inside element e's box:
+    a smooth random-walk polyline with loops, pen width 2. Updates e's box
+    to the drawn extent."""
+    w = max(e.x1 - e.x0, 60.0)
+    h = max(e.y1 - e.y0, 14.0) * r.uniform(1.2, 1.8)
+    x0, y0 = e.x0, e.y0
+    n = r.randint(14, 24)
+    pts = []
+    phase = r.uniform(0, 6.28)
+    amp = h * r.uniform(0.3, 0.5)
+    for i in range(n):
+        t = i / (n - 1)
+        x = x0 + t * w * r.uniform(0.85, 1.0)
+        y = (y0 + h * 0.5
+             + amp * math.sin(phase + t * r.uniform(6, 12))
+             + r.uniform(-h * 0.12, h * 0.12))
+        pts.append((x, y))
+    d.line(pts, fill=r.randint(10, 70), width=2, joint="curve")
+    if r.random() < 0.5:  # underline flourish
+        uy = y0 + h * r.uniform(0.85, 1.0)
+        d.line([(x0, uy), (x0 + w * 0.9, uy)], fill=r.randint(10, 70),
+               width=1)
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    e.x0, e.x1 = float(min(xs)), float(max(xs))
+    e.y0, e.y1 = float(min(ys)), float(max(ys))
 
 
 def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = True):
@@ -707,6 +788,12 @@ def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = Tru
 
     quads, texts = [], []
     for e in spec.elements:
+        if e.role == "value" and e.field_type == "signature":
+            # handwriting squiggle instead of text; excluded from the det/
+            # OCR truth (quads/texts) — it is NOT text, and the engine's
+            # handwriting detector finds it from pixels
+            _draw_squiggle(d, e, r)
+            continue
         f = font_for(e)
         bbox = d.textbbox((e.x0, e.y0), e.text, font=f)
         if bbox[2] >= size or bbox[3] >= size:

@@ -114,6 +114,15 @@ def det_rec_breakdown(engine, pages) -> dict:
         if flops and det_dev_s > 0:
             out["det_mfu"] = round(flops / det_dev_s / _peak_flops(), 4)
             out["det_compute_pages_per_s"] = round(batch / det_dev_s, 2)
+        # compute-only throughput, tunnel discounted: device det forward +
+        # the whole rec stage (rec crops from device-resident canvases; its
+        # wall time is an upper bound on its device time, so this figure is
+        # conservative)
+        rec_s = timer.stages.get("rec_wall", 0.0) / 1000.0
+        if det_dev_s + rec_s > 0:
+            out["compute_pages_per_s"] = round(
+                len(pages) / (det_dev_s + rec_s), 2
+            )
     except Exception as e:  # cost analysis is best-effort diagnostics
         out["mfu_error"] = f"{type(e).__name__}: {e}"
 

@@ -37,6 +37,10 @@ def main() -> None:
         help="compare rules vs layout model on N noisy synthetic forms",
     )
     p.add_argument("--form-noise", type=float, default=0.03)
+    p.add_argument(
+        "--forms-heldout", type=int, default=0,
+        help="also eval on N out-of-family forms (disjoint layout family)",
+    )
     p.add_argument("--extract-checkpoint", default="checkpoints/extract")
     args = p.parse_args()
 
@@ -97,6 +101,43 @@ def main() -> None:
                 )
             )
 
+    heldout_report = None
+    if args.forms_heldout:
+        from ocr_system_tpu.training.evaluate import evaluate_form_extraction
+        from ocr_system_tpu.training.synth_forms_heldout import (
+            HeldoutFormGenerator,
+        )
+
+        def _ho(extractor, seed):
+            res = evaluate_form_extraction(
+                extractor, n_docs=args.forms_heldout,
+                noise_rate=args.form_noise,
+                generator=HeldoutFormGenerator(seed=seed),
+            )
+            # form types here are outside the trained label set by design;
+            # form_type accuracy is not meaningful for this family
+            return {
+                "precision": round(res.precision, 4),
+                "recall": round(res.recall, 4),
+                "f1": round(res.f1, 4),
+            }
+
+        heldout_report = {
+            "n_docs": args.forms_heldout,
+            "noise_rate": args.form_noise,
+            "rules": _ho(RuleExtractor(), 101),
+        }
+        if Path(args.extract_checkpoint).is_dir():
+            from ocr_system_tpu.extract.layout_model import LayoutModelExtractor
+
+            lm2 = LayoutModelExtractor(
+                Settings(
+                    extract_checkpoint=args.extract_checkpoint,
+                    storage_root="storage",
+                )
+            )
+            heldout_report["layout_model"] = _ho(lm2, 101)
+
     e2e_report = None
     if args.e2e:
         from ocr_system_tpu.engine.pipeline import JaxOCREngine
@@ -154,6 +195,7 @@ def main() -> None:
                     "n_docs": field_result.n_docs,
                 },
                 "form_extraction": forms_report,
+                "form_extraction_heldout_family": heldout_report,
                 "end_to_end": e2e_report,
             },
             indent=2,
