@@ -128,6 +128,12 @@ class Settings(BaseModel):
     # than generous blind padding (walks into neighbors at small gaps);
     # kept as an option for sparse-layout documents
     det_ink_snap: bool = False
+    # margin for Devanagari re-segmented boxes (engine/script.py). These
+    # boxes are INK-TIGHT (unlike DB's stride-2-quantized boxes, which
+    # need det_box_pad_ratio=0.65 to recover clipped glyphs), so a small
+    # safety margin renders glyphs at full crop height: measured CER 0.050
+    # at 0.12 vs 0.163 at 0.65 on synthetic Hindi pages.
+    deva_reseg_pad_ratio: float = 0.12
     rec_image_height: int = 48
     # "auto": detect each page's script (shirorekha heuristic, engine/
     # script.py) and route to the matching recognizer checkpoint — one

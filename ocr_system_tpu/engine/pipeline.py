@@ -135,8 +135,7 @@ class JaxOCREngine:
             if sc == "devanagari":
                 d.boxes = script_mod.resegment_devanagari(
                     pixels, d.boxes,
-                    pad_ratio=self.settings.det_box_pad_ratio,
-                    pad_ratio_y=self.settings.det_box_pad_ratio_y,
+                    pad_ratio=self.settings.deva_reseg_pad_ratio,
                 )
                 out.append(deva)
             else:

@@ -34,16 +34,20 @@ from ocr_system_tpu.ops.boxes import DetectedBox
 # shirorekha detection: a row in the top band with a CONTIGUOUS ink run much
 # wider than the glyph height. Contiguity is what separates it from Latin
 # cap-tops ("TOTAL" has high row coverage but the run breaks at every
-# letter gap).
-HEADLINE_MIN_RUN_X_HEIGHT = 1.8  # longest run >= this multiple of ink height
+# letter gap). Measured margins (synthetic font vs DejaVu, sizes 14-30):
+# Devanagari words score 1.5-2.4 x ink height (short 2-glyph words can
+# drop below), Latin tops out at ~1.5 ("mm" bold). 1.55 splits them.
+HEADLINE_MIN_RUN_X_HEIGHT = 1.55
 HEADLINE_TOP_BAND = 0.55  # search the top 55% of box rows
 PAGE_DEVA_FRACTION = 0.45  # boxes with headlines needed to call a page Hindi
 
-# word splitting: an empty column run at least this fraction of ink height.
-# Under the shirorekha within-word columns carry ink (the headline itself);
-# fonts whose headline nicks at glyph joins leave ~0.1h holes, while true
-# word spaces run ~0.25h — 0.18 sits between.
-WORD_GAP_RATIO = 0.18
+# re-segmentation produces LINE-level crops, not words: the recognizer
+# scores CER 0.08 on whole truth lines vs 0.38 on word splits (measured,
+# round 3) — word crops lose context and pay aspect distortion, so only
+# column-scale gaps split a merged chain.
+LINE_SPLIT_GAP_RATIO = 1.1   # empty run >= this x ink height splits
+WORD_GAP_RATIO = 0.18        # used only for aspect-forced splits
+MAX_CROP_ASPECT = 12.0       # keep crops within the widest rec bucket
 MERGE_GAP_RATIO = 0.35  # same-row boxes closer than this merge into a line
 
 
@@ -65,10 +69,13 @@ def _crop_aabb(gray: np.ndarray, quad: np.ndarray) -> np.ndarray:
 
 
 def _ink(crop: np.ndarray) -> np.ndarray:
-    """Local binarization: ink = darker than the crop's bimodal midpoint."""
+    """Local binarization: ink = darker than the crop's bimodal midpoint.
+    `lo` is the true min, NOT a low percentile — a wide sparse crop (a
+    line with a large column gap) can hold <5% ink pixels, and a
+    percentile floor would read it as blank."""
     if crop.size == 0:
         return np.zeros_like(crop)
-    lo = float(np.percentile(crop, 5))
+    lo = float(crop.min())
     hi = float(np.percentile(crop, 90))
     if hi - lo < 25:  # blank-ish crop
         return np.zeros_like(crop, dtype=bool)
@@ -154,21 +161,67 @@ def _rows_from_boxes(boxes: list[DetectedBox]) -> list[list[DetectedBox]]:
     return rows
 
 
+def _fit_aspect(
+    segments: list[tuple[int, int]],
+    cols: np.ndarray,
+    ink_h: int,
+    word_gap: int,
+    max_aspect: float,
+) -> list[tuple[int, int]]:
+    """Recursively split segments wider than max_aspect x ink_h at their
+    widest internal empty-column run (>= word_gap). Segments with no such
+    gap are left as-is (a single unbroken stroke can't be split)."""
+    out: list[tuple[int, int]] = []
+    for s0, s1 in segments:
+        if (s1 - s0) <= max_aspect * ink_h:
+            out.append((s0, s1))
+            continue
+        # find widest empty run strictly inside the segment
+        best_gap = best_at = 0
+        run = 0
+        for x in range(s0, s1):
+            if cols[x]:
+                if run >= word_gap and run > best_gap:
+                    best_gap, best_at = run, x - run
+                run = 0
+            else:
+                run += 1
+        if best_gap == 0:
+            out.append((s0, s1))
+            continue
+        out.extend(
+            _fit_aspect(
+                [(s0, best_at), (best_at + best_gap, s1)],
+                cols, ink_h, word_gap, max_aspect,
+            )
+        )
+    return out
+
+
 def resegment_devanagari(
     page: np.ndarray,
     boxes: list[DetectedBox],
     pad_ratio: float = 0.0,
     pad_ratio_y: float | None = None,
 ) -> list[DetectedBox]:
-    """Merge-then-split normalization of det boxes on a Devanagari page.
+    """Merge-then-normalize det boxes on a Devanagari page — into LINE
+    segments, not words.
 
-    1. same-row boxes whose gap is < MERGE_GAP_RATIO x height merge into one
-       line segment (repairs mid-word splits),
-    2. each segment splits at empty-column runs >= WORD_GAP_RATIO x height
-       (repairs merged words — between words the shirorekha breaks, so the
-       gap columns are genuinely empty),
-    3. each word gets tight ink y-extents plus the detector's configured
-       margins (same contract as detector._pad_quad).
+    DBNet trained on Latin word shapes both merges Devanagari words and
+    splits them mid-conjunct; the repair is to join same-row boxes into
+    line segments and hand the recognizer whole lines (measured: the
+    recognizer scores CER 0.08 on truth-line crops vs 0.38 on word
+    splits — context beats segmentation).
+
+    1. same-row boxes whose padded gap is < MERGE_GAP_RATIO x height merge
+       into one chain (repairs mid-word splits),
+    2. a chain splits only at column-scale gaps (>= LINE_SPLIT_GAP_RATIO x
+       ink height — separated key/value columns), plus forced splits at
+       the widest word gaps while a segment's aspect exceeds the widest
+       recognizer bucket (MAX_CROP_ASPECT; distortion costs more than a
+       split),
+    3. each segment gets tight dominant-band y-extents (det's padded boxes
+       bleed into neighbor rows) plus the detector's configured margins.
     """
     if not boxes:
         return boxes
@@ -222,10 +275,8 @@ def resegment_devanagari(
                 continue
             rows_ink = np.nonzero(ink.any(axis=1))[0]
             ink_h = int(rows_ink[-1]) - int(rows_ink[0]) + 1
-            # 5-px floor: glyph-join headline nicks measure ~4 px at form
-            # font sizes with the programmatic font; true spaces are wider
-            min_gap = max(int(WORD_GAP_RATIO * ink_h), 5)
-            # empty-column runs -> split points
+            # split ONLY at column-scale gaps; keep word gaps merged
+            min_gap = max(int(LINE_SPLIT_GAP_RATIO * ink_h), 8)
             segments: list[tuple[int, int]] = []
             xs = np.nonzero(cols)[0]
             seg_start = int(xs[0])
@@ -236,6 +287,13 @@ def resegment_devanagari(
                     seg_start = int(x)
                 prev_x = int(x)
             segments.append((seg_start, prev_x + 1))
+            # aspect guard: crops wider than the recognizer's widest bucket
+            # pay horizontal squeeze; split over-wide segments at their
+            # widest internal word gaps until they fit
+            word_gap = max(int(WORD_GAP_RATIO * ink_h), 5)
+            segments = _fit_aspect(
+                segments, cols, ink_h, word_gap, MAX_CROP_ASPECT
+            )
             for sx0, sx1 in segments:
                 seg_ink = ink[:, sx0:sx1]
                 seg_rows = np.nonzero(seg_ink.any(axis=1))[0]

@@ -187,6 +187,11 @@ function renderOverlay() {
     (e.layout_data || [])
       .filter((b) => b.page_number === review.page && b.type === "word")
       .forEach((b) => polys.push(polyEl(b.polygon, "all")));
+    (e.layout_data || [])
+      .filter((b) => b.page_number === review.page &&
+                     (b.type === "selection_mark" || b.type === "handwriting"))
+      .forEach((b) => polys.push(polyEl(b.polygon, b.type === "selection_mark"
+        ? (b.state === "selected" ? "mark-on" : "mark-off") : "hand")));
   }
   const f = (e.fields || []).find((x) => x.id === review.selected);
   if (f) {
