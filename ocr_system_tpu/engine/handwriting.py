@@ -64,30 +64,36 @@ def _dilate(mask: np.ndarray, k: int = 3) -> np.ndarray:
         return out
 
 
+def _is_clean_text(content: str, confidence: float) -> bool:
+    """A decode that reads like real printed text: squiggles come back as
+    short symbol soup ('Y4', '\\W^M') even at high confidence, while
+    printed words decode to alnum-dominated strings."""
+    t = content.strip()
+    if len(t) < 3 or confidence < 0.5:
+        return False
+    alnum = sum(c.isalnum() or c in " .,:/-$%" for c in t)
+    return alnum / len(t) >= 0.7
+
+
 def detect_handwriting(
     page: np.ndarray,
     word_boxes: list[dict],
     page_number: int = 1,
     max_dim: int = 64,
 ) -> list[dict]:
-    """page: (H, W[, 3]) uint8; word_boxes: recognized TEXT boxes to
-    subtract. -> handwriting layout boxes."""
+    """page: (H, W[, 3]) uint8; word_boxes: recognized TEXT boxes (used to
+    veto candidates that decode as clean printed text).
+    -> handwriting layout boxes.
+
+    No dilation and no pre-subtraction: a pen stroke is self-connected
+    (one wide component), while printed letters stay separate small
+    components below MIN_W — and the recognizer decodes a squiggle region
+    to symbol soup, so a clean confident decode vetoes a candidate
+    afterwards (an OOD squiggle can decode with conf ~0.8, which is why
+    confidence alone cannot gate)."""
     raw = _ink_mask(np.ascontiguousarray(page))
     h, w = raw.shape
-    # subtract recognized text regions before connecting components, so a
-    # squiggle that grazes a printed label stays its own component
-    mask = raw.copy()
-    for wb in word_boxes:
-        if wb.get("type") != "word" or not wb.get("content", "").strip():
-            continue
-        px = wb["polygon"][0::2]
-        py = wb["polygon"][1::2]
-        x0 = int(np.clip(min(px) - 1, 0, w))
-        x1 = int(np.clip(max(px) + 2, 0, w))
-        y0 = int(np.clip(min(py) - 1, 0, h))
-        y1 = int(np.clip(max(py) + 2, 0, h))
-        mask[y0:y1, x0:x1] = 0
-    labels, n, bboxes = _components(_dilate(mask))
+    labels, n, bboxes = _components(raw)
     marks: list[dict] = []
     page_diag = max(h, w)
     for comp in range(1, n + 1):
@@ -99,7 +105,6 @@ def detect_handwriting(
         if not (MIN_ASPECT <= aspect <= MAX_ASPECT):
             continue
         comp_mask = labels[y0: y1 + 1, x0: x1 + 1] == comp
-        # fill measured on the RAW (undilated) ink inside the component box
         ink = raw[y0: y1 + 1, x0: x1 + 1].astype(bool) & comp_mask
         total = int(ink.sum())
         fill = total / max(cw * ch, 1)
@@ -122,6 +127,24 @@ def detect_handwriting(
             continue
         # stroke must span a healthy share of its rows (squiggles wander)
         if float((rows > 0).mean()) < 0.5:
+            continue
+        # veto: mostly covered by a box that decoded as clean printed text
+        # (touching bold titles form wide components too)
+        area = float(cw * ch)
+        vetoed = False
+        for wb in word_boxes:
+            if wb.get("type") != "word" or not _is_clean_text(
+                wb.get("content", ""), wb.get("confidence", 0.0)
+            ):
+                continue
+            px = wb["polygon"][0::2]
+            py = wb["polygon"][1::2]
+            ix = min(x1 + 1, max(px)) - max(x0, min(px))
+            iy = min(y1 + 1, max(py)) - max(y0, min(py))
+            if ix > 0 and iy > 0 and (ix * iy) / area > 0.5:
+                vetoed = True
+                break
+        if vetoed:
             continue
         conf = round(float(min(0.5 + (1.0 - row_conc) * 0.5, 0.95)), 4)
         marks.append(

@@ -189,9 +189,27 @@ class JaxOCREngine:
         if self.settings.enable_handwriting_detection:
             from ocr_system_tpu.engine.handwriting import detect_handwriting
 
-            mark_boxes += detect_handwriting(
+            hand_boxes = detect_handwriting(
                 pixels, word_boxes, page.page_number
             )
+            mark_boxes += hand_boxes
+            if hand_boxes:
+                # a det box over a handwriting region decodes to symbol
+                # soup ('\\W^M') — keep the word box in layout_data but
+                # drop it from the TEXT (markdown/lines): the region is
+                # handwriting, not text
+                def in_hand(block) -> bool:
+                    cx = float(block.quad[:, 0].mean())
+                    cy = float(block.quad[:, 1].mean())
+                    for hb in hand_boxes:
+                        hx = hb["polygon"][0::2]
+                        hy = hb["polygon"][1::2]
+                        if (min(hx) <= cx <= max(hx)
+                                and min(hy) <= cy <= max(hy)):
+                            return True
+                    return False
+
+                blocks = [b for b in blocks if not in_hand(b)]
         lines = reading_order.order_blocks(blocks)
         line_boxes = [
             {

@@ -292,6 +292,59 @@ def evaluate_form_extraction(
     )
 
 
+def evaluate_signature_detection(
+    engine, n_docs: int = 10, page_size: int = 960, seed: int = 24601
+) -> dict:
+    """E2E signature capability (BASELINE config 4): render forms whose
+    signature values are pen squiggles, run the FULL engine, and measure
+    (a) a handwriting box overlapping the truth squiggle region,
+    (b) the squiggle surfacing as a signature field via label pairing
+        (engine/handwriting.handwriting_to_fields — the orchestrator path).
+    The reference gets this from Gemini seeing the page pixels."""
+    import numpy as np
+
+    from ocr_system_tpu.engine.handwriting import handwriting_to_fields
+    from ocr_system_tpu.engine.preprocess import PageImage
+    from ocr_system_tpu.training import synth_forms as SF
+
+    gen = SF.FormGenerator(seed=seed)
+    found_box = found_field = total = 0
+    while total < n_docs:
+        spec = gen.generate(page_size)
+        sig = [
+            e for e in spec.elements
+            if e.role == "value" and e.field_type == "signature"
+        ]
+        if not sig:
+            continue
+        total += 1
+        page = SF.render_spec(spec, augment=False)
+        pixels = (page.image * 255).astype(np.uint8)
+        out = engine.process_pages([PageImage(pixels, 1)])[0]
+        hand = [
+            b for b in out.layout_boxes if b.get("type") == "handwriting"
+        ]
+        e = sig[0]
+        hit = None
+        for hb in hand:
+            hx = hb["polygon"][0::2]
+            hy = hb["polygon"][1::2]
+            if (min(hx) < e.x1 and max(hx) > e.x0
+                    and min(hy) < e.y1 and max(hy) > e.y0):
+                hit = hb
+                break
+        if hit is not None:
+            found_box += 1
+            fields = handwriting_to_fields(hand, out.layout_boxes)
+            if any(f["field_value"] == "signed" for f in fields):
+                found_field += 1
+    return {
+        "n_docs": total,
+        "handwriting_box_rate": round(found_box / max(total, 1), 3),
+        "signature_field_rate": round(found_field / max(total, 1), 3),
+    }
+
+
 def evaluate_field_extraction(
     extractor, n_docs: int = 20, seed: int = 7777
 ) -> FieldEvalResult:

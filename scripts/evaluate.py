@@ -41,6 +41,11 @@ def main() -> None:
         "--forms-heldout", type=int, default=0,
         help="also eval on N out-of-family forms (disjoint layout family)",
     )
+    p.add_argument(
+        "--signatures", type=int, default=0,
+        help="e2e signature-detection eval on N squiggle forms "
+             "(requires --e2e engine)",
+    )
     p.add_argument("--extract-checkpoint", default="checkpoints/extract")
     args = p.parse_args()
 
@@ -176,6 +181,14 @@ def main() -> None:
             "mean_page_cer": round(r.mean_page_cer, 4),
             "line_recall": round(r.line_recall, 4),
         }
+        if args.signatures:
+            from ocr_system_tpu.training.evaluate import (
+                evaluate_signature_detection,
+            )
+
+            e2e_report["signatures"] = evaluate_signature_detection(
+                engine, n_docs=args.signatures
+            )
 
     print(
         json.dumps(
