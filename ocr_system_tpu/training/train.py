@@ -259,6 +259,7 @@ def det_batch_iterator(
     charset: Charset | None = None,
     pool_size: int = 256,
     refresh_every: int = 8,
+    forms_fraction: float = 0.5,
 ) -> Iterator[dict]:
     """Page-pool iterator: page rendering (PIL + numpy DB targets) costs
     ~1 s/page — far slower than a train step — so a pool of pre-rendered
@@ -287,7 +288,7 @@ def det_batch_iterator(
         renderer, gen, r = sources
         # augment=False: noise is added ON DEVICE (make_det_train_step) so
         # the page stays compressible on the wire
-        if r.random() < 0.5:
+        if r.random() >= forms_fraction:
             page = renderer.render_page(size=size, augment=False)
         else:
             page = SF.render_spec(gen.generate(size), augment=False)
@@ -511,6 +512,7 @@ def train_detector(
     pool_size: int = 1024,
     save_every: int = 0,
     save_path: str | None = None,
+    forms_fraction: float = 0.5,
 ) -> tuple[TrainState, dict]:
     from ocr_system_tpu.models.dbnet import DBNet
 
@@ -524,7 +526,8 @@ def train_detector(
         )
     step_fn = make_det_train_step(model, optimizer, mesh)
     it = det_batch_iterator(batch_size, size=size, seed=seed,
-                            pool_size=pool_size)
+                            pool_size=pool_size,
+                            forms_fraction=forms_fraction)
     # losses stay DEVICE scalars between log points: a float() per step
     # would sync the host loop to the device queue, serializing batch upload
     # with step compute — over the tunnel that halves throughput

@@ -117,6 +117,7 @@ def train_det(args) -> None:
         state=state,
         save_every=1000,  # crash-safe long runs over the tunnel
         save_path=str(Path(args.out or "checkpoints/det").absolute()),
+        forms_fraction=args.forms_fraction,
     )
     logger.info("det metrics: %s", metrics)
     out = Path(args.out or "checkpoints/det")
@@ -184,6 +185,8 @@ def main() -> None:
     p.add_argument("--charset", default=None)
     p.add_argument("--rec-width", type=int, default=320)
     p.add_argument("--det-size", type=int, default=640)
+    p.add_argument("--forms-fraction", type=float, default=0.5,
+                   help="fraction of det training pages that are forms")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
     p.add_argument("--resume", default=None, help="checkpoint to continue from")
