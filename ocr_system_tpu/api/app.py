@@ -421,6 +421,41 @@ def create_app(ctx: ApiContext | None = None) -> App:
         ctx.repos.extractions.update_stats(ext["id"], s)
         return Response.json(serialize_field(field, s), status=201)
 
+    @r.post("/api/extractions/{extraction_id}/chat")
+    async def extraction_chat(req: Request, bg: BackgroundTasks) -> Response:
+        """Multi-turn grounded Q&A over one extraction (reference:
+        gemini_service.py:584-604 create_extraction_chat — service-only
+        there; exposed as a route here). Stateless per request: pass prior
+        turns in `history` ([{role, text}, ...]) for multi-turn context."""
+        ext = get_extraction_or_404(req.path_params["extraction_id"])
+        body = req.json() or {}
+        message = (body.get("message") or "").strip()
+        if not message:
+            raise HTTPError(422, "message is required")
+        from ocr_system_tpu.extract.chat import ChatTurn, ExtractionChat
+
+        fields = ctx.repos.fields.list_for_extraction(ext["id"])
+        chat = ExtractionChat(
+            fields=fields,
+            ocr_text=ext.get("raw_ocr_markdown") or "",
+            history=[
+                ChatTurn(t.get("role", "user"), t.get("text", ""))
+                for t in (body.get("history") or [])
+                if isinstance(t, dict)
+            ],
+        )
+        out = chat.send(message)
+        return Response.json(
+            {
+                "extraction_id": ext["id"],
+                "reply": out["reply"],
+                "matched_fields": out["matched_fields"],
+                "history": [
+                    {"role": t.role, "text": t.text} for t in chat.history
+                ],
+            }
+        )
+
     @r.post("/api/extractions/{extraction_id}/validate")
     async def validate_extraction(req: Request, bg: BackgroundTasks) -> Response:
         ext = get_extraction_or_404(req.path_params["extraction_id"])

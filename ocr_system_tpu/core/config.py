@@ -62,9 +62,12 @@ class Settings(BaseModel):
     allowed_extensions: tuple[str, ...] = ("png", "jpg", "jpeg", "pdf", "tiff", "tif")
 
     # --- OCR engine selection (reference: config.py:70 OCR_INFERENCE_METHOD) ---
-    # "jax" = local TPU det+rec stack (the whole point); "fake" = deterministic
-    # test engine (the seam the reference demonstrates with 3 engine files).
-    ocr_engine: str = "jax"
+    # "hybrid" = neural DBNet ∪ classical CV detection + neural recognition —
+    # the measured-best default (round-3 matrix: forms CER 0.202/recall 0.810
+    # vs jax 0.214/0.795, plain identical); "jax" = pure neural det+rec;
+    # "classical" = no-weights CV det; "fake" = deterministic test engine
+    # (the seam the reference demonstrates with 3 engine files).
+    ocr_engine: str = "hybrid"
     fake_ocr_text: str = "Name: John Smith"  # what the fake engine "reads"
 
     # --- preprocessing toggles (reference: config.py:84-87, 69) ---
