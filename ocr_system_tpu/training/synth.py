@@ -195,15 +195,17 @@ class TextRenderer:
 
     def render_line(
         self, text: str | None = None, height: int = 48, max_width: int = 640,
-        augment: bool = True,
+        augment: bool = True, font_range: tuple[int, int] = (12, 38),
     ) -> LineSample:
         r = self.rng
         if text is None:
             text = self.random_text()
         # 12px lower bound matters: form body text renders at 12-18px on
         # ~96-dpi-equivalent pages, so serving upsamples ~3-4x into the
-        # 48px crop — training must cover that blur regime
-        font_size = r.randint(12, 38) if augment else 30
+        # 48px crop — training must cover that blur regime. font_range
+        # narrows the distribution for targeted fine-tunes (round-3 forms
+        # error analysis: the residual CER is small-font recognition).
+        font_size = r.randint(*font_range) if augment else 30
         font = self._random_font(font_size, text)
         pad = r.randint(2, 8) if augment else 4
         # measure

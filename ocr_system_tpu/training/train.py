@@ -134,6 +134,7 @@ def rec_batch_iterator(
     seed: int = 0,
     pool_size: int = 2048,
     refresh_per_step: int = 16,
+    font_range: tuple[int, int] = (12, 38),
 ) -> Iterator[dict]:
     """Line-pool iterator (same rationale as det_batch_iterator: rendering
     competes with the device for wall-clock; a refreshing pool keeps the
@@ -142,7 +143,7 @@ def rec_batch_iterator(
     rng = np.random.default_rng(seed)
 
     def render_one():
-        sample = renderer.render_line(max_width=width)
+        sample = renderer.render_line(max_width=width, font_range=font_range)
         enc = charset.encode(sample.text)[:max_label_len] or [1]
         labels = np.zeros((max_label_len,), np.int32)
         labels[: len(enc)] = enc
@@ -462,6 +463,7 @@ def train_recognizer(
     log_every: int = 50,
     seed: int = 0,
     state: TrainState | None = None,
+    font_range: tuple[int, int] = (12, 38),
 ) -> tuple[TrainState, dict]:
     """Train the SVTR recognizer on synthetic lines. Returns (state, metrics)."""
     from ocr_system_tpu.models.recognizer import SVTRRecognizer
@@ -479,7 +481,8 @@ def train_recognizer(
             jnp.zeros((1, 48, width, 3)), jnp.array([width]), train=False,
         )
     step_fn = make_rec_train_step(model, optimizer, mesh)
-    it = rec_batch_iterator(charset, batch_size, width=width, seed=seed)
+    it = rec_batch_iterator(charset, batch_size, width=width, seed=seed,
+                            font_range=font_range)
     losses = []  # device scalars (see train_detector note)
     t0 = time.time()
     for i in range(steps):

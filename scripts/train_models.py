@@ -79,6 +79,7 @@ def train_rec(args) -> None:
         lr=args.lr,
         seed=args.seed,
         state=state,
+        font_range=(args.font_min, args.font_max),
     )
     logger.info("rec metrics: %s", metrics)
     out = Path(args.out or f"checkpoints/rec_{args.charset}")
@@ -187,6 +188,9 @@ def main() -> None:
     p.add_argument("--det-size", type=int, default=640)
     p.add_argument("--forms-fraction", type=float, default=0.5,
                    help="fraction of det training pages that are forms")
+    p.add_argument("--font-min", type=int, default=12,
+                   help="rec training font-size range (px)")
+    p.add_argument("--font-max", type=int, default=38)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
     p.add_argument("--resume", default=None, help="checkpoint to continue from")
