@@ -67,11 +67,21 @@ def _dilate(mask: np.ndarray, k: int = 3) -> np.ndarray:
 def _is_clean_text(content: str, confidence: float) -> bool:
     """A decode that reads like real printed text: squiggles come back as
     short symbol soup ('Y4', '\\W^M') even at high confidence, while
-    printed words decode to alnum-dominated strings."""
+    printed words decode to alnum-dominated strings. Combining marks
+    (Mn/Mc) count as letters: Indic matras are real text, and a printed
+    Devanagari header is exactly the kind of wide shirorekha-connected
+    component the CC shape test mistakes for a pen stroke."""
+    import unicodedata
+
     t = content.strip()
     if len(t) < 3 or confidence < 0.5:
         return False
-    alnum = sum(c.isalnum() or c in " .,:/-$%" for c in t)
+    alnum = sum(
+        c.isalnum()
+        or c in " .,:/-$%"
+        or unicodedata.category(c) in ("Mn", "Mc")
+        for c in t
+    )
     return alnum / len(t) >= 0.7
 
 
