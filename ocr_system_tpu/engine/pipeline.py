@@ -56,6 +56,9 @@ class DocumentOCRResult:
     total_pages: int = 0
     processing_time_ms: float = 0.0
     error: str | None = None
+    # per-stage serving breakdown from the PageScheduler's StageTimer
+    # (det_wait / rec / det_rec) — SURVEY §5.1's device-side timing story
+    stage_times_ms: dict = field(default_factory=dict)
 
     @property
     def combined_layout_boxes(self) -> list[dict]:
@@ -246,7 +249,8 @@ class JaxOCREngine:
             return DocumentOCRResult(success=False, error=f"decode failed: {e}")
         from ocr_system_tpu.engine.scheduler import PageScheduler
 
-        outputs = PageScheduler(self, self.settings).process(pages)
+        scheduler = PageScheduler(self, self.settings)
+        outputs = scheduler.process(pages)
         combined_md = combine_markdown([p.markdown for p in outputs])
         combined_html = "\n<hr>\n".join(p.html for p in outputs)
         return DocumentOCRResult(
@@ -257,6 +261,7 @@ class JaxOCREngine:
             total_pages=len(outputs),
             processing_time_ms=(time.perf_counter() - t0) * 1000.0,
             error=None if outputs else "no pages decoded",
+            stage_times_ms=scheduler.timer.as_ms(),
         )
 
     def process_pages(self, pages: list[PageImage]) -> list[OCROutput]:

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 
 from ocr_system_tpu.core.config import Settings, get_settings
 from ocr_system_tpu.engine.preprocess import PageImage
+from ocr_system_tpu.utils.profiler import StageTimer
 
 logger = logging.getLogger(__name__)
 
@@ -38,6 +39,11 @@ class PageScheduler:
         self.engine = engine
         self.settings = settings or get_settings()
         self.stats = ScheduleStats()
+        # per-stage serving timings (SURVEY §5.1 device-side observability):
+        # det_wait = det time NOT hidden by the rec overlap (pipelined path),
+        # rec = recognition incl. decode. Surfaced on DocumentOCRResult and
+        # logged per document by the orchestrator's ProcessingLog.
+        self.timer = StageTimer()
 
     def process(self, pages: list[PageImage]) -> list:
         """Returns one OCROutput per page, never raises on per-page failures.
@@ -98,16 +104,18 @@ class PageScheduler:
                     self.stats.waves += 1
                     try:
                         fut, det_futs[w_i] = det_futs[w_i], None
-                        dets = fut.result()
+                        with self.timer.stage("det_wait"):
+                            dets = fut.result()
                         nxt = w_i + PREFETCH
                         if nxt < len(waves):
                             det_futs[nxt] = det_pool.submit(
                                 self.engine.det_stage,
                                 [p for _, p in waves[nxt]],
                             )
-                        results = self.engine.rec_stage(
-                            [p for _, p in wave], dets
-                        )
+                        with self.timer.stage("rec"):
+                            results = self.engine.rec_stage(
+                                [p for _, p in wave], dets
+                            )
                         dets = None
                         for (i, _), r in zip(wave, results):
                             outputs[i] = r
@@ -123,7 +131,20 @@ class PageScheduler:
             for wave in waves:
                 self.stats.waves += 1
                 try:
-                    results = self.engine.process_pages([p for _, p in wave])
+                    if pipelined:
+                        with self.timer.stage("det_wait"):
+                            dets = self.engine.det_stage(
+                                [p for _, p in wave]
+                            )
+                        with self.timer.stage("rec"):
+                            results = self.engine.rec_stage(
+                                [p for _, p in wave], dets
+                            )
+                    else:
+                        with self.timer.stage("det_rec"):
+                            results = self.engine.process_pages(
+                                [p for _, p in wave]
+                            )
                     for (i, _), r in zip(wave, results):
                         outputs[i] = r
                 except Exception as e:

@@ -118,6 +118,17 @@ def decode_tags(
     same row, or directly above) rather than by token adjacency — two-column
     forms interleave key/value spans in reading order, so adjacency pairing
     crosses columns. Orphan values become fields with empty keys."""
+    # BIO repair: an I-tag without a live span of its kind starts one
+    # (standard conlleval-style fixup) — without it a model that misses
+    # just the B token drops the whole span, and on out-of-family forms
+    # that single-token brittleness was a measured F1 cliff
+    tag_ids = np.array(tag_ids, copy=True)
+    for i in range(n_valid):
+        t = tag_ids[i]
+        if t == _I_IK and (i == 0 or tag_ids[i - 1] not in (_I_BK, _I_IK)):
+            tag_ids[i] = _I_BK
+        elif t == _I_IV and (i == 0 or tag_ids[i - 1] not in (_I_BV, _I_IV)):
+            tag_ids[i] = _I_BV
     spans: list[tuple[str, str, float, str, np.ndarray]] = []
     i = 0
     while i < n_valid:
@@ -326,15 +337,20 @@ class LayoutModelExtractor:
         fields = decode_tags(tag_ids, type_ids, conf, tokens_text, boxes, n_valid)
 
         # retry-then-fallback contract (see module docstring): an untrained /
-        # unconfident model yields nothing -> rule tier guarantees output.
+        # unconfident model yields nothing usable -> rule tier guarantees
+        # output. "Nothing usable" = no fields, or only orphan values (every
+        # key empty — what random-init tags decode to after BIO repair);
+        # orphan-only output survives only if rules also find nothing keyed.
         attempts = 1
-        if not fields and attempts < self.settings.extraction_max_retries:
+        degenerate = not fields or all(not f.field_key for f in fields)
+        if degenerate and attempts < self.settings.extraction_max_retries:
             result = self._fallback.extract(
                 ocr_text, line_confidences, template, custom_prompt
             )
-            result.token_count = n_valid
-            result.raw_response = "layout_model:empty->rules"
-            return result
+            if not fields or any(f.field_key for f in result.fields):
+                result.token_count = n_valid
+                result.raw_response = "layout_model:degenerate->rules"
+                return result
 
         return ExtractionResult(
             fields=fields,

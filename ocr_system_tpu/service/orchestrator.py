@@ -155,6 +155,11 @@ class ExtractionOrchestrator:
             details={
                 "pages": state.ocr_result.total_pages,
                 "boxes": len(state.ocr_result.combined_layout_boxes),
+                # per-stage engine breakdown (det_wait/rec) from the
+                # scheduler's StageTimer — device-side §5.1 observability
+                "stage_times_ms": getattr(
+                    state.ocr_result, "stage_times_ms", {}
+                ),
             },
             duration_ms=state.ocr_time_ms,
         )

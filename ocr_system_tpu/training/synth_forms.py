@@ -83,7 +83,25 @@ _COMPANIES = ("Acme Corp;Global Services Ltd;Nimbus Industries;"
               "Vertex Solutions;Orion Supplies Inc;Cedar & Stone LLC").split(";")
 
 
+# Open-vocabulary pseudo-words: the extractor must tag keys/names/text from
+# typography and geometry, not a memorized lexicon (round-3 held-out eval:
+# F1 collapsed to ~0.01 when every training token came from fixed pools —
+# the model had learned the vocabulary, not the structure).
+_SYL = ("ba be bi bo bu da de di do du fa fe fi fo ga ge gi go ka ke ki ko "
+        "ku la le li lo lu ma me mi mo mu na ne ni no nu pa pe pi po ra re "
+        "ri ro ru sa se si so su ta te ti to tu va ve vi vo za zo wen ler "
+        "ton ker mar vis nor del gar hal sen ric dam fort berg stein wick "
+        "shaw croft").split()
+
+
+def _pseudo_word(r: random.Random, min_syl: int = 2, max_syl: int = 3) -> str:
+    return "".join(r.choice(_SYL) for _ in range(r.randint(min_syl, max_syl)))
+
+
 def _gen_name(r: random.Random) -> str:
+    if r.random() < 0.35:
+        return (f"{_pseudo_word(r).capitalize()} "
+                f"{_pseudo_word(r, 2, 4).capitalize()}")
     return f"{r.choice(_FIRST)} {r.choice(_LAST)}"
 
 
@@ -97,6 +115,9 @@ def _gen_email(r: random.Random) -> str:
 
 def _gen_phone(r: random.Random) -> str:
     a, b, c = r.randint(200, 999), r.randint(100, 999), r.randint(1000, 9999)
+    if r.random() < 0.25:  # international formats (validator: digit count)
+        return (f"+{r.randint(30, 49)} {r.randint(1000, 9999)} "
+                f"{r.randint(100000, 999999)}")
     return r.choice(
         [f"({a}) {b}-{c}", f"{a}-{b}-{c}", f"+1 {a} {b} {c}", f"{a}.{b}.{c}"]
     )
@@ -117,9 +138,15 @@ def _gen_date(r: random.Random) -> str:
 
 
 def _gen_currency(r: random.Random) -> str:
-    if r.random() < 0.3:
-        return f"${r.randint(1, 999)}.{r.randint(0, 99):02d}"
-    return f"${r.randint(1000, 99999):,}.{r.randint(0, 99):02d}"
+    amount = (f"{r.randint(1, 999)}.{r.randint(0, 99):02d}"
+              if r.random() < 0.3
+              else f"{r.randint(1000, 99999):,}.{r.randint(0, 99):02d}")
+    roll = r.random()
+    if roll < 0.6:
+        return f"${amount}"
+    if roll < 0.85:  # ISO-code prefix (validator extracts the numeric part)
+        return f"{r.choice(['USD', 'EUR', 'GBP', 'CAD'])} {amount}"
+    return f"{amount} {r.choice(['USD', 'EUR'])}"
 
 
 def _gen_number(r: random.Random) -> str:
@@ -128,6 +155,9 @@ def _gen_number(r: random.Random) -> str:
     # invariant tolerates
     if r.random() < 0.7:
         return str(r.randint(1, 999999))
+    if r.random() < 0.4:  # letter-coded refs ("KX-812-47" style)
+        letters = "".join(r.choice("KLMNPQRSTVWXYZ") for _ in range(2))
+        return f"{letters}-{r.randint(100, 999)}-{r.randint(10, 99)}"
     prefix = r.choice(["INV-", "PO-", "REF-", "ID ", ""])
     return f"{prefix}{r.randint(2020, 2030)}-{r.randint(1, 9999):04d}"
 
@@ -153,6 +183,10 @@ def _gen_signature(r: random.Random) -> str:
 
 
 def _gen_text(r: random.Random) -> str:
+    if r.random() < 0.3:
+        return " ".join(
+            _pseudo_word(r) for _ in range(r.randint(1, 3))
+        )
     return " ".join(r.choice(_WORDS) for _ in range(r.randint(1, 3)))
 
 
@@ -277,7 +311,7 @@ class FormGenerator:
     # must tag from geometry/typography (round-3 held-out eval: F1 craters
     # to ~0.06 on unseen keys when every training key comes from the fixed
     # _FORM_CONTENT pools)
-    RANDOM_KEY_FRACTION = 0.35
+    RANDOM_KEY_FRACTION = 0.45
     _KEY_WORDS = ("case batch region window carrier segment account permit "
                   "channel unit lot route zone shift contact entry office "
                   "project code period cycle status owner handler origin "
@@ -290,8 +324,12 @@ class FormGenerator:
         seen = set()
         for _ in range(12):
             n = r.randint(1, 3)
+            # half the key words are open-vocabulary pseudo-words so no
+            # finite key lexicon exists to memorize
             key = " ".join(
-                w.capitalize() for w in r.sample(self._KEY_WORDS, n)
+                (_pseudo_word(r).capitalize() if r.random() < 0.5
+                 else r.choice(self._KEY_WORDS).capitalize())
+                for _ in range(n)
             )
             if key in seen:
                 continue
@@ -336,11 +374,11 @@ class FormGenerator:
         n_fields = r.randint(4, min(9, len(field_pool)))
         chosen = r.sample(field_pool, n_fields)
         fs = r.randint(max(size // 64, 12), max(size // 44, 16))
-        two_col = r.random() < 0.4 and size >= 640
-        col_w = (size - 2 * margin - (30 if two_col else 0)) // (
-            2 if two_col else 1
-        )
-        cols_y = [y, y] if two_col else [y]
+        n_cols_kv = 1
+        if size >= 640 and r.random() < 0.45:
+            n_cols_kv = r.choice([2, 2, 3])  # held-out family runs 3-col
+        col_w = (size - 2 * margin - 30 * (n_cols_kv - 1)) // n_cols_kv
+        cols_y = [y] * n_cols_kv
         row_gap = int(fs * r.uniform(1.1, 2.2))
 
         for slot, (key, ftype) in enumerate(chosen):

@@ -129,7 +129,10 @@ class TestWordBoxesAndText:
     def test_word_boxes_shape(self, specs):
         wb = SF.spec_to_word_boxes(specs[5])
         assert wb and all(len(b["polygon"]) == 8 for b in wb)
-        assert all(b["content"] for b in wb)
+        # every box carries text except handwriting (squiggles have none)
+        assert all(
+            b["content"] or b["type"] == "handwriting" for b in wb
+        )
 
     def test_ocr_text_contains_lines(self, specs):
         text = SF.spec_ocr_text(specs[5])
