@@ -227,6 +227,12 @@ def resegment_devanagari(
         return boxes
     gray = _to_gray(page)
     ph, pw = gray.shape
+    # dense small-text pages: det can emit one box COVERING several text
+    # rows (measured: a sparse Hindi page at 0.89 CER because three whole
+    # rows vanished under the dominant-band restriction below). Split such
+    # boxes into one sub-box per substantial ink row band FIRST, so row
+    # clustering sees single-row boxes and every line survives.
+    boxes = _split_multirow_boxes(gray, boxes)
     out: list[DetectedBox] = []
     for row in _rows_from_boxes(boxes):
         row.sort(key=lambda b: float(b.quad[:, 0].min()))
@@ -254,7 +260,9 @@ def resegment_devanagari(
             # chain's y-range bleeds into neighboring text rows. Restrict
             # to the dominant ink row band (the contiguous run with the
             # most ink) before profiling, or neighbor rows fill the word
-            # gaps and the y-extents span two lines.
+            # gaps and the y-extents span two lines. (Multi-ROW det boxes
+            # were already split per band by _split_multirow_boxes, so by
+            # here the dominant band IS the chain's own line.)
             row_mass = ink.sum(axis=1)
             bands = []
             start = None
@@ -317,4 +325,63 @@ def resegment_devanagari(
                     np.float32,
                 )
                 out.append(DetectedBox(quad=quad, score=score))
+    return out
+
+
+def _split_multirow_boxes(
+    gray: np.ndarray, boxes: list[DetectedBox]
+) -> list[DetectedBox]:
+    """Split det boxes whose ink profile shows SEVERAL substantial
+    zero-separated row bands into one y-tight sub-box per band.
+
+    A band is substantial when it is tall enough and carries enough mass
+    relative to the box's strongest band — detached diacritics (anusvara
+    dots above the shirorekha) and pad bleed from a neighboring row form
+    thin low-mass bands and must NOT become their own lines (the
+    downstream pad recovers diacritics; the neighbor row has its own
+    box)."""
+    out: list[DetectedBox] = []
+    for b in boxes:
+        crop = _crop_aabb(gray, b.quad)
+        ink = _ink(crop)
+        if not ink.any():
+            out.append(b)
+            continue
+        row_mass = ink.sum(axis=1)
+        bands: list[tuple[int, int]] = []
+        start = None
+        for ri, m in enumerate(row_mass):
+            if m > 0 and start is None:
+                start = ri
+            elif m == 0 and start is not None:
+                bands.append((start, ri))
+                start = None
+        if start is not None:
+            bands.append((start, len(row_mass)))
+        strongest_mass = max(float(row_mass[a:c].sum()) for a, c in bands)
+        tallest = max(c - a for a, c in bands)
+        substantial = [
+            (a, c)
+            for a, c in bands
+            if (c - a) >= max(3, 0.35 * tallest)
+            and float(row_mass[a:c].sum()) >= 0.18 * strongest_mass
+        ]
+        if len(substantial) <= 1:
+            out.append(b)
+            continue
+        # band indices are rows of the CLIPPED crop — anchor to the same
+        # clipped origin _crop_aabb used
+        ph, pw = gray.shape
+        x0 = float(np.clip(b.quad[:, 0].min(), 0, pw - 1))
+        x1 = float(np.clip(b.quad[:, 0].max(), x0 + 1, pw))
+        y_top = float(np.clip(b.quad[:, 1].min(), 0, ph - 1))
+        for a, c in substantial:
+            quad = np.array(
+                [
+                    [x0, y_top + a], [x1, y_top + a],
+                    [x1, y_top + c], [x0, y_top + c],
+                ],
+                np.float32,
+            )
+            out.append(DetectedBox(quad=quad, score=b.score))
     return out

@@ -345,7 +345,9 @@ class FormGenerator:
             form_type = "Unknown"
             titles = _FORM_CONTENT["Unknown"][0]
             field_pool = self._random_field_pool(r)
-        margin = max(int(size * 0.04), 16)
+        # margins vary page to page (real scans do too; a fixed margin let
+        # the extractor memorize the key column's absolute x position)
+        margin = max(int(size * r.uniform(0.03, 0.09)), 16)
         char_w = 0.58  # DejaVu average advance / font size
         elements: list[Element] = []
         pairs: list[tuple[str, str, str]] = []
@@ -604,6 +606,7 @@ def spec_to_tokens(
     max_len: int,
     noise_rate: float = 0.0,
     rng: random.Random | None = None,
+    coord_jitter: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """FormSpec -> layout-extractor training arrays.
 
@@ -613,6 +616,13 @@ def spec_to_tokens(
     element role. OCR noise (sub/del/ins) is applied emission-side so tags
     stay aligned with the noisy stream — the model trains on the same
     distortions the real OCR stage produces.
+
+    coord_jitter applies a random global translation + scale to every box
+    (same transform page-wide): real scans place the same form at arbitrary
+    offsets/zoom, and without it the model MEMORIZES absolute coordinates —
+    measured round 3: held-out forms with a 7% margin scored F1 0.04 against
+    a model trained only on 4%-margin pages, and shifting the very same
+    pages 29 px left repaired the tagging almost completely.
     """
     from ocr_system_tpu.models.layout_extractor import (
         COORD_BUCKETS,
@@ -634,8 +644,17 @@ def spec_to_tokens(
     pos = 0
     f = COORD_BUCKETS - 1
     s = spec.size
+    scale = dx = dy = 0.0
+    if coord_jitter:
+        scale = rng.uniform(0.82, 1.12)
+        # offsets may push content toward either page edge (quant clamps)
+        dx = rng.uniform(-0.06, 0.14) * s
+        dy = rng.uniform(-0.06, 0.14) * s
 
     def quant(b):
+        if coord_jitter:
+            b = (b[0] * scale + dx, b[1] * scale + dy,
+                 b[2] * scale + dx, b[3] * scale + dy)
         return [
             max(0, min(int(b[0] / s * f), f)),
             max(0, min(int(b[1] / s * f), f)),

@@ -440,7 +440,9 @@ def layout_batch_iterator(
             noise = rng.uniform(0, noise_rate * 2)  # clean..2x mean
             (
                 ids[i], boxes[i], mask[i], tags[i], types[i], form[i],
-            ) = SF.spec_to_tokens(spec, charset, max_len, noise, rng)
+            ) = SF.spec_to_tokens(
+                spec, charset, max_len, noise, rng, coord_jitter=True
+            )
             pos_offset[i] = rng.randrange(max_off + 1)
         yield {
             "ids": ids, "boxes": boxes, "mask": mask,

@@ -193,6 +193,24 @@ class TestGeometricPairing:
         assert fields and fields[0].field_key == "K1"
         assert fields[0].field_value == "V1"
 
+    def test_bio_repair_orphan_i_tags(self):
+        """A span whose B token the model missed (I... run with no B) must
+        still decode — conlleval-style repair promotes the orphan I to B."""
+        from ocr_system_tpu.extract.layout_model import decode_tags
+
+        text = "KeyVal"
+        # 'Key' all I-KEY (no B), 'Val' all I-VAL (no B)
+        tags = np.array([2, 2, 2, 4, 4, 4])
+        types = np.zeros(6, np.int64)
+        conf = np.full(6, 0.9)
+        boxes = np.array(
+            [[10, 10, 40, 20]] * 3 + [[60, 10, 90, 20]] * 3, np.float32
+        )
+        fields = decode_tags(tags, types, conf, text, boxes, 6)
+        assert len(fields) == 1
+        assert fields[0].field_key == "Key"
+        assert fields[0].field_value == "Val"
+
 
 class TestFormEvalHarness:
     def test_rules_baseline_runs(self):
