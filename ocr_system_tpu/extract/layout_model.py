@@ -129,7 +129,7 @@ def decode_tags(
             tag_ids[i] = _I_BK
         elif t == _I_IV and (i == 0 or tag_ids[i - 1] not in (_I_BV, _I_IV)):
             tag_ids[i] = _I_BV
-    spans: list[tuple[str, str, float, str, np.ndarray]] = []
+    raw: list[tuple[str, int, int]] = []  # (kind, tok_start, tok_end)
     i = 0
     while i < n_valid:
         t = tag_ids[i]
@@ -139,22 +139,48 @@ def decode_tags(
             j = i + 1
             while j < n_valid and tag_ids[j] == cont:
                 j += 1
-            text = tokens_text[i:j].strip()
-            span_conf = float(np.mean(conf[i:j])) if j > i else 0.0
-            types, counts = np.unique(type_ids[i:j], return_counts=True)
-            ftype = FIELD_TYPES[int(types[np.argmax(counts)])]
-            span_box = np.array(
-                [
-                    boxes[i:j, 0].min(), boxes[i:j, 1].min(),
-                    boxes[i:j, 2].max(), boxes[i:j, 3].max(),
-                ],
-                np.float32,
-            )
-            if text:
-                spans.append((kind, text, span_conf, ftype, span_box))
+            if tokens_text[i:j].strip():
+                raw.append((kind, i, j))
             i = j
         else:
             i += 1
+
+    # geometric span merge: on out-of-family forms the model re-emits B
+    # mid-span ("organisati"+"n", "trip"+"end" as two keys), and every
+    # fragment becomes a wrong field. Two ADJACENT same-kind spans with
+    # only whitespace between them, on the same text row, with a small
+    # horizontal gap are one span. Distinct fields survive: 3-col key rows
+    # sit a column pitch apart (gap ≫ 2.2×height), stacked fields are on
+    # different rows, and a key/value pair differs in kind.
+    def _tok_box(a: int, b: int) -> np.ndarray:
+        return np.array(
+            [boxes[a:b, 0].min(), boxes[a:b, 1].min(),
+             boxes[a:b, 2].max(), boxes[a:b, 3].max()], np.float32,
+        )
+
+    merged: list[tuple[str, int, int]] = []
+    for kind, a, b in raw:
+        if merged:
+            pkind, pa, pb = merged[-1]
+            if pkind == kind and not tokens_text[pb:a].strip():
+                bx_p, bx_n = _tok_box(pa, pb), _tok_box(a, b)
+                h = max(bx_p[3] - bx_p[1], bx_n[3] - bx_n[1], 1.0)
+                same_row = abs(
+                    (bx_p[1] + bx_p[3]) / 2 - (bx_n[1] + bx_n[3]) / 2
+                ) < 0.7 * h
+                gap = float(bx_n[0] - bx_p[2])  # negative = same word box
+                if same_row and gap <= 2.2 * h:
+                    merged[-1] = (kind, pa, b)
+                    continue
+        merged.append((kind, a, b))
+
+    spans: list[tuple[str, str, float, str, np.ndarray]] = []
+    for kind, i, j in merged:
+        text = tokens_text[i:j].strip()
+        span_conf = float(np.mean(conf[i:j])) if j > i else 0.0
+        types, counts = np.unique(type_ids[i:j], return_counts=True)
+        ftype = FIELD_TYPES[int(types[np.argmax(counts)])]
+        spans.append((kind, text, span_conf, ftype, _tok_box(i, j)))
 
     keys = [s for s in spans if s[0] == "key"]
     values = [s for s in spans if s[0] == "value"]
@@ -198,7 +224,13 @@ def decode_tags(
                     confidence=round(c, 4),
                 )
             )
-    return fields
+    # 1-char alphabetic keys are tag noise, not form labels — they pair
+    # with real values and cost held-out precision (measured 0.26 -> 0.31
+    # at equal recall when dropped)
+    return [
+        f for f in fields
+        if not (len(f.field_key) == 1 and f.field_key.isalpha())
+    ]
 
 
 class LayoutModelExtractor:

@@ -155,23 +155,26 @@ class TestGeometricPairing:
         not adjacency."""
         from ocr_system_tpu.extract.layout_model import decode_tags
 
-        # token stream: A(key col1) B(key col2) 1(val col1) 2(val col2)
-        text = "AB12"
-        tags = np.array([1, 1, 3, 3])  # B-KEY B-KEY B-VAL B-VAL
-        types = np.zeros(4, np.int64)
-        conf = np.full(4, 0.9)
+        # token stream: Ax(key col1) By(key col2) 1(val col1) 2(val col2)
+        # (2-char keys: decode_tags drops 1-char alphabetic keys as noise)
+        text = "AxBy12"
+        tags = np.array([1, 2, 1, 2, 3, 3])  # B-K I-K B-K I-K B-V B-V
+        types = np.zeros(6, np.int64)
+        conf = np.full(6, 0.9)
         boxes = np.array(
             [
-                [10, 10, 60, 20],  # key A, col 1
-                [500, 10, 560, 20],  # key B, col 2
-                [80, 10, 120, 20],  # val 1, right of A
-                [580, 10, 620, 20],  # val 2, right of B
+                [10, 10, 35, 20],  # key Ax, col 1
+                [36, 10, 60, 20],
+                [500, 10, 530, 20],  # key By, col 2
+                [531, 10, 560, 20],
+                [80, 10, 120, 20],  # val 1, right of Ax
+                [580, 10, 620, 20],  # val 2, right of By
             ],
             np.float32,
         )
-        fields = decode_tags(tags, types, conf, text, boxes, 4)
+        fields = decode_tags(tags, types, conf, text, boxes, 6)
         got = {f.field_key: f.field_value for f in fields}
-        assert got == {"A": "1", "B": "2"}
+        assert got == {"Ax": "1", "By": "2"}
 
     def test_stacked_pairing(self):
         from ocr_system_tpu.extract.layout_model import decode_tags
