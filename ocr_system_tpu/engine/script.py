@@ -331,15 +331,26 @@ def resegment_devanagari(
 def _split_multirow_boxes(
     gray: np.ndarray, boxes: list[DetectedBox]
 ) -> list[DetectedBox]:
-    """Split det boxes whose ink profile shows SEVERAL substantial
-    zero-separated row bands into one y-tight sub-box per band.
+    """Split det boxes covering SEVERAL text rows into one sub-box per row,
+    by clustering the box's ink CONNECTED COMPONENTS into rows.
 
-    A band is substantial when it is tall enough and carries enough mass
-    relative to the box's strongest band — detached diacritics (anusvara
-    dots above the shirorekha) and pad bleed from a neighboring row form
-    thin low-mass bands and must NOT become their own lines (the
-    downstream pad recovers diacritics; the neighbor row has its own
-    box)."""
+    An earlier version used the zero-separated row-mass bands of the box's
+    projection profile — but DBNet emits rotated quads on out-of-
+    distribution pages (sparse small Devanagari), and inside a diagonal
+    box's AABB two stair-stepped rows overlap a few pixels in y: no
+    zero-mass row exists between them, the bands fuse, and the fused crop
+    decodes as garbage (measured: one page at 0.89 CER while its five
+    siblings averaged 0.07). Components cannot fuse across disjoint ink —
+    the shirorekha joins a word into one component, and each component
+    belongs to exactly one text row.
+
+    Detached diacritics (anusvara dots above the headline, vowel signs
+    hanging below the base) are short/narrow components; they attach to the
+    nearest row instead of becoming their own, and the recognizer pad
+    recovers whatever a tight row box still clips."""
+    from ocr_system_tpu.ops.boxes import _label_components
+
+    ph, pw = gray.shape
     out: list[DetectedBox] = []
     for b in boxes:
         crop = _crop_aabb(gray, b.quad)
@@ -347,40 +358,80 @@ def _split_multirow_boxes(
         if not ink.any():
             out.append(b)
             continue
-        row_mass = ink.sum(axis=1)
-        bands: list[tuple[int, int]] = []
-        start = None
-        for ri, m in enumerate(row_mass):
-            if m > 0 and start is None:
-                start = ri
-            elif m == 0 and start is not None:
-                bands.append((start, ri))
-                start = None
-        if start is not None:
-            bands.append((start, len(row_mass)))
-        strongest_mass = max(float(row_mass[a:c].sum()) for a, c in bands)
-        tallest = max(c - a for a, c in bands)
-        substantial = [
-            (a, c)
-            for a, c in bands
-            if (c - a) >= max(3, 0.35 * tallest)
-            and float(row_mass[a:c].sum()) >= 0.18 * strongest_mass
+        labels, n = _label_components(ink)
+        # per-component bboxes via vectorized scatter
+        ys, xs = np.nonzero(labels > 0)
+        ls = labels[ys, xs]
+        cx0 = np.full(n + 1, crop.shape[1], np.int64)
+        cy0 = np.full(n + 1, crop.shape[0], np.int64)
+        cx1 = np.zeros(n + 1, np.int64)
+        cy1 = np.zeros(n + 1, np.int64)
+        cnt = np.zeros(n + 1, np.int64)
+        np.minimum.at(cx0, ls, xs)
+        np.maximum.at(cx1, ls, xs)
+        np.minimum.at(cy0, ls, ys)
+        np.maximum.at(cy1, ls, ys)
+        np.add.at(cnt, ls, 1)
+        comp = [
+            ci for ci in range(1, n + 1)
+            if cnt[ci] >= 3 and cy1[ci] - cy0[ci] + 1 >= 2
         ]
-        if len(substantial) <= 1:
+        if not comp:
             out.append(b)
             continue
-        # band indices are rows of the CLIPPED crop — anchor to the same
-        # clipped origin _crop_aabb used
-        ph, pw = gray.shape
-        x0 = float(np.clip(b.quad[:, 0].min(), 0, pw - 1))
-        x1 = float(np.clip(b.quad[:, 0].max(), x0 + 1, pw))
-        y_top = float(np.clip(b.quad[:, 1].min(), 0, ph - 1))
-        for a, c in substantial:
+        heights = np.array([cy1[ci] - cy0[ci] + 1 for ci in comp])
+        widths_c = np.array([cx1[ci] - cx0[ci] + 1 for ci in comp])
+        masses = np.array([cnt[ci] for ci in comp], np.float64)
+        # ink-mass-weighted median height: words carry most of the ink, so
+        # this reads as "word height" even when detached marks outnumber
+        # the words (a plain median would collapse toward mark height)
+        order = np.argsort(heights)
+        csum = np.cumsum(masses[order])
+        med_h = float(
+            heights[order][int(np.searchsorted(csum, csum[-1] / 2.0))]
+        )
+        # marks are short (anusvara, candrabindu) OR narrow-and-low (a
+        # detached vowel sign under a single consonant)
+        is_mark = (heights < 0.45 * med_h) | (
+            (heights < 0.7 * med_h) & (widths_c <= 0.9 * med_h)
+        )
+        main = [ci for ci, m in zip(comp, is_mark) if not m]
+        marks = [ci for ci, m in zip(comp, is_mark) if m]
+        if not main:
+            main, marks = comp, []
+        # row clustering by y-center (running mean, 0.55 x median height)
+        tol = 0.55 * max(med_h, 1.0)
+        rows: list[list[int]] = []
+        row_yc: list[float] = []
+        for ci in sorted(main, key=lambda c: float(cy0[c])):
+            yc = float(cy0[ci] + cy1[ci]) / 2.0
+            for ri, ry in enumerate(row_yc):
+                if abs(yc - ry) <= tol:
+                    rows[ri].append(ci)
+                    row_yc[ri] = ry + (yc - ry) / len(rows[ri])
+                    break
+            else:
+                rows.append([ci])
+                row_yc.append(yc)
+        for ci in marks:
+            yc = float(cy0[ci] + cy1[ci]) / 2.0
+            ri = min(range(len(row_yc)), key=lambda r: abs(yc - row_yc[r]))
+            if abs(yc - row_yc[ri]) <= 1.1 * med_h:
+                rows[ri].append(ci)
+        if len(rows) <= 1:
+            out.append(b)
+            continue
+        x_org = int(np.clip(b.quad[:, 0].min(), 0, pw - 1))
+        y_org = int(np.clip(b.quad[:, 1].min(), 0, ph - 1))
+        for row in rows:
+            rx0 = x_org + int(min(cx0[ci] for ci in row))
+            rx1 = x_org + int(max(cx1[ci] for ci in row)) + 1
+            ry0 = y_org + int(min(cy0[ci] for ci in row))
+            ry1 = y_org + int(max(cy1[ci] for ci in row)) + 1
+            if rx1 - rx0 < 3 or ry1 - ry0 < 3:
+                continue
             quad = np.array(
-                [
-                    [x0, y_top + a], [x1, y_top + a],
-                    [x1, y_top + c], [x0, y_top + c],
-                ],
+                [[rx0, ry0], [rx1, ry0], [rx1, ry1], [rx0, ry1]],
                 np.float32,
             )
             out.append(DetectedBox(quad=quad, score=b.score))

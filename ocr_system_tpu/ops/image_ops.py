@@ -196,10 +196,26 @@ def estimate_skew_angle(
     phase = jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
     g_ak = jnp.sum(f[None, :, :] * phase, axis=-1)  # (A, N)
     power = jnp.abs(g_ak) ** 2
-    score = jnp.sum(power, axis=-1) - power[:, 0]  # drop DC (mean) term
+    # score only the LINE-frequency band (|k| >= 8): aligned text rows put
+    # their profile energy at the line pitch and its harmonics, while a
+    # sparse stair-stepped layout sheared into one dense band concentrates
+    # energy at |k| <= 3 — with the full spectrum that false alignment
+    # outscored the true 0-degree layout (measured: a clean Hindi page
+    # rotated -12 degrees into 0.89-CER garbage)
+    kmask = (jnp.abs(k) >= 8.0).astype(power.dtype)
+    score = jnp.sum(power * kmask[None, :], axis=-1)
+    # evidence gate, scaled with the angle: mis-applying a LARGE rotation to
+    # a clean page is catastrophic, while skipping a small true correction
+    # is benign — so the farther the candidate angle, the more decisively it
+    # must beat the 0-degree score (measured ratios: stair page 1.10 at 12
+    # degrees vs genuinely skewed pages 1.9 at 6 / 3.8 at 12).
+    best = jnp.argmax(score)
+    score0 = score[num_angles // 2]  # linspace center == 0 degrees
+    required = 1.0 + 0.05 * jnp.abs(angles[best])
+    confident = score[best] > required * score0
     # negate: return the CORRECTING rotation (pass directly to rotate()),
     # matching the reference deskew convention (image_preprocessing.py:444)
-    return -angles[jnp.argmax(score)]
+    return jnp.where(confident, -angles[best], 0.0)
 
 
 def deskew(

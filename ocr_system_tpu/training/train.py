@@ -261,6 +261,7 @@ def det_batch_iterator(
     pool_size: int = 256,
     refresh_every: int = 8,
     forms_fraction: float = 0.5,
+    deva_fraction: float = 0.0,
 ) -> Iterator[dict]:
     """Page-pool iterator: page rendering (PIL + numpy DB targets) costs
     ~1 s/page — far slower than a train step — so a pool of pre-rendered
@@ -279,17 +280,28 @@ def det_batch_iterator(
     rng = np.random.default_rng(seed)
 
     def make_sources(s: int):
+        deva = None
+        if deva_fraction > 0:
+            # Devanagari pixel diversity: DBNet trained on Latin-only pages
+            # emits rotated multi-row quads and misses whole rows on sparse
+            # small Hindi text (measured: a page at 0.89 CER from det
+            # recall, not recognition)
+            deva = synth.TextRenderer(get_charset("devanagari"), seed=s + 7)
         return (
             synth.TextRenderer(cs, seed=s),
             SF.FormGenerator(seed=s),
             np.random.default_rng(s),
+            deva,
         )
 
     def render_one(sources):
-        renderer, gen, r = sources
+        renderer, gen, r, deva = sources
         # augment=False: noise is added ON DEVICE (make_det_train_step) so
         # the page stays compressible on the wire
-        if r.random() >= forms_fraction:
+        roll = r.random()
+        if deva is not None and roll >= 1.0 - deva_fraction:
+            page = deva.render_page(size=size, augment=False)
+        elif roll >= forms_fraction:
             page = renderer.render_page(size=size, augment=False)
         else:
             page = SF.render_spec(gen.generate(size), augment=False)
@@ -518,6 +530,7 @@ def train_detector(
     save_every: int = 0,
     save_path: str | None = None,
     forms_fraction: float = 0.5,
+    deva_fraction: float = 0.0,
 ) -> tuple[TrainState, dict]:
     from ocr_system_tpu.models.dbnet import DBNet
 
@@ -532,7 +545,8 @@ def train_detector(
     step_fn = make_det_train_step(model, optimizer, mesh)
     it = det_batch_iterator(batch_size, size=size, seed=seed,
                             pool_size=pool_size,
-                            forms_fraction=forms_fraction)
+                            forms_fraction=forms_fraction,
+                            deva_fraction=deva_fraction)
     # losses stay DEVICE scalars between log points: a float() per step
     # would sync the host loop to the device queue, serializing batch upload
     # with step compute — over the tunnel that halves throughput

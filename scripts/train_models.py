@@ -119,6 +119,7 @@ def train_det(args) -> None:
         save_every=1000,  # crash-safe long runs over the tunnel
         save_path=str(Path(args.out or "checkpoints/det").absolute()),
         forms_fraction=args.forms_fraction,
+        deva_fraction=getattr(args, "deva_fraction", 0.0),
     )
     logger.info("det metrics: %s", metrics)
     out = Path(args.out or "checkpoints/det")
@@ -188,6 +189,10 @@ def main() -> None:
     p.add_argument("--det-size", type=int, default=640)
     p.add_argument("--forms-fraction", type=float, default=0.5,
                    help="fraction of det training pages that are forms")
+    p.add_argument("--deva-fraction", type=float, default=0.0,
+                   help="fraction of det training pages in Devanagari "
+                        "(pixel diversity: Latin-only det emits rotated "
+                        "multi-row quads on sparse Hindi pages)")
     p.add_argument("--font-min", type=int, default=12,
                    help="rec training font-size range (px)")
     p.add_argument("--font-max", type=int, default=38)
