@@ -195,7 +195,7 @@ def _cluster_rows(quads, texts) -> list[str]:
         else:
             rows.append([it])
     return [
-        " ".join(t for _, _, _, t in sorted(row, key=lambda v: v[2]))
+        " ".join(t for _, _, _, t in sorted(row, key=lambda v: v[2])).strip()
         for row in rows
     ]
 

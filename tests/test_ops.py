@@ -91,6 +91,19 @@ class TestImageOps:
         _, applied = image_ops.deskew(jnp.array(page))
         assert float(applied) == 0.0
 
+    def test_deskew_not_fooled_by_stair_layout(self):
+        """A sparse stair-stepped layout (each row indented further) can be
+        sheared into one dense band, which outscored the true 0-degree
+        alignment under the full-spectrum criterion — the estimator rotated
+        a clean Hindi page -12 degrees into 0.89-CER garbage. The line-
+        frequency band + angle-scaled evidence gate must return 0 here."""
+        page = np.ones((256, 256), np.float32)
+        for i, y in enumerate(range(20, 80, 12)):
+            x0 = 20 + i * 30
+            page[y : y + 5, x0 : x0 + 50] = 0.0
+        angle = image_ops.estimate_skew_angle(jnp.array(page))
+        assert float(angle) == 0.0
+
     def test_adaptive_binarize_binary_output(self):
         img = np.random.default_rng(1).random((64, 64)).astype(np.float32)
         out = np.asarray(image_ops.adaptive_binarize(jnp.array(img)))

@@ -175,6 +175,34 @@ class TestResegmentation:
         assert float(out[0].quad[:, 1].max()) < float(quads[1][:, 1].min())
         assert float(out[1].quad[:, 1].min()) > float(quads[0][:, 1].max())
 
+    def test_stair_rows_split_despite_y_overlap(self, deva_font):
+        """Two stair-stepped rows overlapping a few pixels in y have no
+        zero-ink row between them inside a det box's AABB, so projection
+        bands fused them into one garbage crop (measured 0.89 CER page).
+        Connected components cannot fuse across disjoint ink — one det box
+        covering both must split into one box per row."""
+        img = Image.new("RGB", (640, 200), "white")
+        d = ImageDraw.Draw(img)
+        b1 = d.textbbox((40, 40), "नाम राशि", font=deva_font)
+        d.text((40, 40), "नाम राशि", fill="black", font=deva_font)
+        # second row: indented right, top overlaps row 1's bottom by ~4 px
+        y2 = b1[3] - 4
+        b2 = d.textbbox((260, y2), "कुल भुगतान", font=deva_font)
+        d.text((260, y2), "कुल भुगतान", fill="black", font=deva_font)
+        page = np.asarray(img, np.uint8)
+        quad = np.array(
+            [[b1[0], b1[1]], [b2[2], b1[1]], [b2[2], b2[3]], [b1[0], b2[3]]],
+            np.float32,
+        )
+        out = resegment_devanagari(
+            page, [DetectedBox(quad=quad, score=0.9)], pad_ratio=0.0
+        )
+        assert len(out) == 2
+        out.sort(key=lambda b: float(b.quad[:, 0].min()))
+        # left box hugs row 1, right box hugs row 2
+        assert float(out[0].quad[:, 0].max()) < 260
+        assert float(out[1].quad[:, 0].min()) >= 250
+
     def test_overlapping_chains_dedup(self, deva_font):
         """Two det boxes that each bleed over both rows re-emit the same
         lines twice; the IoU dedup keeps one box per row."""
