@@ -39,6 +39,7 @@ from ocr_system_tpu.ops.boxes import DetectedBox
 # drop below), Latin tops out at ~1.5 ("mm" bold). 1.55 splits them.
 HEADLINE_MIN_RUN_X_HEIGHT = 1.55
 HEADLINE_TOP_BAND = 0.55  # search the top 55% of box rows
+HEADLINE_MIN_BELOW_SUPPORT = 0.06  # run columns with ink attached below
 PAGE_DEVA_FRACTION = 0.45  # boxes with headlines needed to call a page Hindi
 
 # re-segmentation produces LINE-level crops, not words: the recognizer
@@ -101,8 +102,17 @@ def _longest_run(row: np.ndarray, bridge: int = 1) -> int:
 
 def has_headline(crop: np.ndarray) -> bool:
     """True when the crop shows a shirorekha: a contiguous horizontal ink
-    run in the upper band much wider than the glyph height. `crop` is a
-    gray uint8 sub-image of one text box."""
+    run in the upper band much wider than the glyph height, WITH glyph ink
+    attached directly below it. `crop` is a gray uint8 sub-image of one
+    text box.
+
+    The attachment requirement kills the one measured false-positive
+    family: det boxes over ruled TABLE cells — the cell's top rule is a
+    full-width run in the top band, but cell padding leaves the rows right
+    under it blank (measured below-run support: table rules <= 0.03 vs
+    Devanagari words >= 0.10). Without it a Latin form with a ruled table
+    routed to the Devanagari recognizer and decoded as garbage (one eval
+    page at 0.92 CER)."""
     ink = _ink(crop)
     h, w = ink.shape
     if h < 6 or w < 12:
@@ -117,26 +127,95 @@ def has_headline(crop: np.ndarray) -> bool:
     if x1 - x0 < 10 or ink_h < 6:
         return False
     band_end = int(rows_ink[0]) + max(int(ink_h * HEADLINE_TOP_BAND), 2)
-    band = ink[int(rows_ink[0]): band_end, x0:x1]
     need = HEADLINE_MIN_RUN_X_HEIGHT * ink_h
-    return any(_longest_run(band[r]) >= need for r in range(band.shape[0]))
+    for r in range(int(rows_ink[0]), min(band_end, h)):
+        row = ink[r, x0:x1]
+        if _longest_run(row) < need:
+            continue
+        below = ink[r + 1: min(r + 4, h), x0:x1]
+        if below.size == 0:
+            continue
+        support = float((below.any(axis=0) & row).sum()) / max(
+            int(row.sum()), 1
+        )
+        if support >= HEADLINE_MIN_BELOW_SUPPORT:
+            return True
+    return False
 
 
 def page_script(
-    page: np.ndarray, quads: np.ndarray, sample: int = 12
+    page: np.ndarray, quads: np.ndarray, sample: int = 24
 ) -> str:
-    """Classify a page's dominant script from a sample of its text boxes.
-    quads: (N, 4, 2) in page coords. -> "latin" | "devanagari"."""
+    """Classify a page's dominant script. quads: (N, 4, 2) det boxes in
+    page coords (used only as a region-of-interest hint).
+    -> "latin" | "devanagari".
+
+    Votes over ink CONNECTED COMPONENTS, not det boxes: det boxes arrive
+    padded and often line- or multi-row-scale, which inflates the ink
+    height until the 1.55x-height headline-run test can never pass (a
+    sparse Hindi page sampled this way scored 3/10 hits and routed to the
+    Latin recognizer). A component IS a word on a Devanagari page — the
+    shirorekha connects the glyphs — so the headline test runs at the
+    scale it was calibrated for, regardless of det box quality."""
     if len(quads) == 0:
         return "latin"
     gray = _to_gray(page)
-    # sample the LARGEST boxes: they carry the most readable evidence
-    areas = [
-        float((q[:, 0].max() - q[:, 0].min()) * (q[:, 1].max() - q[:, 1].min()))
-        for q in quads
+    ph, pw = gray.shape
+    roi = np.zeros((ph, pw), bool)
+    for q in quads:
+        x0 = int(np.clip(q[:, 0].min() - 2, 0, pw))
+        x1 = int(np.clip(q[:, 0].max() + 3, x0 + 1, pw))
+        y0 = int(np.clip(q[:, 1].min() - 2, 0, ph))
+        y1 = int(np.clip(q[:, 1].max() + 3, y0 + 1, ph))
+        roi[y0:y1, x0:x1] = True
+    vals = gray[roi]
+    if vals.size == 0:
+        return "latin"
+    lo, hi = float(vals.min()), float(np.percentile(vals, 90))
+    if hi - lo < 25:
+        return "latin"
+    ink = (gray < (lo + hi) / 2.0) & roi
+
+    from ocr_system_tpu.ops.boxes import _label_components
+
+    labels, n = _label_components(ink)
+    if n == 0:
+        return "latin"
+    ys, xs = np.nonzero(labels > 0)
+    ls = labels[ys, xs]
+    cx0 = np.full(n + 1, pw, np.int64)
+    cy0 = np.full(n + 1, ph, np.int64)
+    cx1 = np.zeros(n + 1, np.int64)
+    cy1 = np.zeros(n + 1, np.int64)
+    cnt = np.zeros(n + 1, np.int64)
+    np.minimum.at(cx0, ls, xs)
+    np.maximum.at(cx1, ls, xs)
+    np.minimum.at(cy0, ls, ys)
+    np.maximum.at(cy1, ls, ys)
+    np.add.at(cnt, ls, 1)
+    # vote only over components WIDE enough to express a shirorekha
+    # (w >= 1.8h; the run test needs 1.55x the ink height): a short word
+    # or glyph fragment structurally cannot pass the test, so counting it
+    # as a "no" vote reads as Latin evidence it isn't. Latin print rarely
+    # produces wide CONNECTED components at all (letters are separate
+    # blobs), so an empty wide set already means Latin.
+    comps = [
+        ci for ci in range(1, n + 1)
+        if cnt[ci] >= 12
+        and cy1[ci] - cy0[ci] + 1 >= 6
+        and cx1[ci] - cx0[ci] + 1
+        >= max(12, 1.8 * (cy1[ci] - cy0[ci] + 1))
     ]
-    order = np.argsort(areas)[::-1][: max(sample, 1)]
-    hits = sum(1 for i in order if has_headline(_crop_aabb(gray, quads[i])))
+    if not comps:
+        return "latin"
+    order = sorted(comps, key=lambda c: -int(cnt[c]))[: max(sample, 1)]
+    hits = 0
+    for ci in order:
+        crop = gray[
+            max(int(cy0[ci]) - 1, 0): int(cy1[ci]) + 2,
+            max(int(cx0[ci]) - 1, 0): int(cx1[ci]) + 2,
+        ]
+        hits += has_headline(crop)
     return "devanagari" if hits >= PAGE_DEVA_FRACTION * len(order) else "latin"
 
 

@@ -65,6 +65,30 @@ class TestScriptDetection:
         )
         assert page_script(page, quads) == "latin"
 
+    def test_ruled_table_form_stays_latin(self, latin_font):
+        """A Latin form with a ruled table must NOT route to Devanagari: a
+        table cell's top rule is a full-width run in a det box's top band
+        (shirorekha-shaped), and before the below-support + component-level
+        vote one eval form decoded entirely as Devanagari garbage (0.92
+        CER). Boxes here mimic det output: cells including their rules."""
+        img = Image.new("RGB", (640, 300), "white")
+        d = ImageDraw.Draw(img)
+        quads = []
+        cols = ["Item", "Qty", "Price"]
+        for r in range(3):
+            y = 60 + r * 50
+            d.line([(40, y - 8), (600, y - 8)], fill="black", width=2)
+            for c, text in enumerate(cols):
+                x = 60 + c * 180
+                t = text if r == 0 else f"{r * 100 + c}"
+                d.text((x, y), t, fill="black", font=latin_font)
+                # det-style box: the cell INCLUDING its top rule
+                quads.append([[x - 15, y - 10], [x + 150, y - 10],
+                              [x + 150, y + 34], [x - 15, y + 34]])
+        d.line([(40, 202), (600, 202)], fill="black", width=2)
+        page = np.asarray(img, np.uint8)
+        assert page_script(page, np.array(quads, np.float32)) == "latin"
+
     def test_empty_page_defaults_latin(self):
         page = np.full((200, 200, 3), 255, np.uint8)
         assert page_script(page, np.zeros((0, 4, 2), np.float32)) == "latin"
