@@ -186,6 +186,23 @@ class TextRenderer:
             return str(r.randint(10000, 999999999))
         if kind < 0.8:  # key: value fragments
             return f"{r.choice(_WORDS).capitalize()}: {r.choice(_WORDS)}"
+        if kind < 0.9 and not self._devanagari:
+            # dotted-leader fragments ("Key ...... value" form rows): crops
+            # containing long dot runs hallucinated ('!!!!', 'IIII') when
+            # the recognizer had never seen them (round-3 forms diagnosis —
+            # leader rows were the largest post-routing CER contributor)
+            dots = "." * r.randint(4, 30)
+            roll = r.random()
+            if roll < 0.3:
+                return dots
+            left = r.choice(_WORDS).capitalize()
+            right = (
+                str(r.randint(1, 999999)) if r.random() < 0.5
+                else r.choice(_WORDS)
+            )
+            if roll < 0.65:
+                return f"{left} {dots} {right}"
+            return f"{dots} {right}"
         # random char soup over the charset (covers punctuation etc.)
         alphabet = self.charset.chars.replace(" ", "") or string.ascii_letters
         n = r.randint(3, 12)
