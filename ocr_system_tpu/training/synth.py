@@ -190,8 +190,11 @@ class TextRenderer:
             # dotted-leader fragments ("Key ...... value" form rows): crops
             # containing long dot runs hallucinated ('!!!!', 'IIII') when
             # the recognizer had never seen them (round-3 forms diagnosis —
-            # leader rows were the largest post-routing CER contributor)
-            dots = "." * r.randint(4, 30)
+            # leader rows were the largest post-routing CER contributor).
+            # Runs go to 80 dots: a small-font leader row is ~2200 px at
+            # 48 px crop height and squeezes 3.5x into the 640 bucket —
+            # the squeeze regime must be in training, not just the dots.
+            dots = "." * r.randint(4, 80)
             roll = r.random()
             if roll < 0.3:
                 return dots
