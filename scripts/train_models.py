@@ -215,7 +215,8 @@ def main() -> None:
         a.batch = args.batch or (2 if args.quick else 8)
         a.lr = args.lr or 1e-3
         a.charset = args.charset or "latin"
-        a.out = None
+        if args.target == "all":
+            a.out = None  # 'all' shares --out with rec; det gets default
         train_det(a)
     if args.target in ("layout", "all"):
         a = argparse.Namespace(**vars(args))
