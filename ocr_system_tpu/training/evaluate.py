@@ -282,7 +282,15 @@ def evaluate_form_extraction(
         for k, v in truth.items():
             if got.get(k) != v:
                 fn += 1
-        form_type_hits += int(result.form_type == spec.form_type)
+        # out-of-family form types are NOT in the classifier's label space
+        # (models/layout_extractor.FORM_TYPES) — the correct answer for a
+        # type the model was never told exists is "Unknown"
+        from ocr_system_tpu.models.layout_extractor import FORM_TYPES
+
+        want = (
+            spec.form_type if spec.form_type in FORM_TYPES else "Unknown"
+        )
+        form_type_hits += int(result.form_type == want)
     precision = tp / max(tp + fp, 1)
     recall = tp / max(tp + fn, 1)
     f1 = 2 * precision * recall / max(precision + recall, 1e-9)
