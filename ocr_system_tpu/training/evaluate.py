@@ -117,6 +117,8 @@ class E2EEvalResult:
     n_pages: int
     mean_page_cer: float
     line_recall: float  # fraction of truth lines matched with CER < 0.3
+    forms_page_cer: float = -1.0  # mean over FORM pages (-1 if none)
+    plain_page_cer: float = -1.0  # mean over plain-text pages (-1 if none)
 
 
 def evaluate_end_to_end(
@@ -144,9 +146,12 @@ def evaluate_end_to_end(
     if len(charset.encode("Invoice Number 42")) < 10:
         forms_fraction = 0.0
     page_cers = []
+    kinds = []  # parallel to page_cers: True = form page
     matched = total_lines = 0
     for i in range(n_pages):
-        if i < n_pages * forms_fraction:
+        is_form = i < n_pages * forms_fraction
+        kinds.append(is_form)
+        if is_form:
             page = SF.render_spec(form_gen.generate(size), augment=False)
         else:
             page = renderer.render_page(size=size, augment=False)
@@ -164,10 +169,14 @@ def evaluate_end_to_end(
                 min(cer(t, g), infix_cer(t, g)) < 0.3 for g in got_lines
             ):
                 matched += 1
+    forms = [c for c, k in zip(page_cers, kinds) if k]
+    plain = [c for c, k in zip(page_cers, kinds) if not k]
     return E2EEvalResult(
         n_pages=n_pages,
         mean_page_cer=float(sum(page_cers) / max(len(page_cers), 1)),
         line_recall=matched / max(total_lines, 1),
+        forms_page_cer=float(sum(forms) / len(forms)) if forms else -1.0,
+        plain_page_cer=float(sum(plain) / len(plain)) if plain else -1.0,
     )
 
 

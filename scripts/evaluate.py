@@ -180,6 +180,8 @@ def main() -> None:
             "n_pages": r.n_pages,
             "mean_page_cer": round(r.mean_page_cer, 4),
             "line_recall": round(r.line_recall, 4),
+            "forms_page_cer": round(r.forms_page_cer, 4),
+            "plain_page_cer": round(r.plain_page_cer, 4),
         }
         if args.signatures:
             from ocr_system_tpu.training.evaluate import (
