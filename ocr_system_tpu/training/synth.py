@@ -247,11 +247,47 @@ class TextRenderer:
         img = img.resize((new_w, height), Image.BILINEAR)
         arr = np.asarray(img, np.float32) / 255.0
         if augment:
+            arr = self._rule_artifacts(arr, new_w, fg / 255.0)
             arr = self._augment(arr)
         out = np.zeros((height, max_width), np.float32)
         out[:, :new_w] = arr
         out3 = np.stack([out] * 3, axis=-1)
         return LineSample(image=out3, text=text, width=new_w)
+
+    def _rule_artifacts(
+        self, arr: np.ndarray, text_w: int, fg: float
+    ) -> np.ndarray:
+        """Table-rule artifacts: det boxes on form table rows include cell
+        borders — full-height vertical bars between cells and horizontal
+        row rules clipped at the crop's top/bottom edge. A recognizer that
+        has never seen them decodes rules as '|'/'l'/'I' garbage (round-3
+        forms diagnosis: table rows were a top forms-CER contributor after
+        leaders). Target text is unchanged — the model learns rules are
+        not glyphs. Parity bar: Azure reads bordered cells transparently
+        (reference backend/services/ocr_service.py layout tables)."""
+        r = self.rng
+        if r.random() >= 0.25:
+            return arr
+        h = arr.shape[0]
+        ink = max(fg, 0.0)
+        if r.random() < 0.7:  # vertical cell separators
+            for _ in range(r.randint(1, 3)):
+                x = r.randint(0, max(text_w - 1, 1))
+                wpx = r.randint(1, 2)
+                arr[:, x:x + wpx] = np.minimum(
+                    arr[:, x:x + wpx], ink + r.uniform(0.0, 0.15)
+                )
+        if r.random() < 0.6:  # horizontal row rule near an edge
+            for y in {0, h - 1} if r.random() < 0.3 else {
+                r.choice([r.randint(0, max(h // 6, 1)),
+                          r.randint(h - max(h // 6, 1) - 1, h - 1)])
+            }:
+                hpx = r.randint(1, 2)
+                y0 = min(max(y, 0), h - hpx)
+                arr[y0:y0 + hpx, :text_w] = np.minimum(
+                    arr[y0:y0 + hpx, :text_w], ink + r.uniform(0.0, 0.15)
+                )
+        return arr
 
     def _augment(self, arr: np.ndarray) -> np.ndarray:
         r = self.rng
