@@ -144,7 +144,10 @@ class Settings(BaseModel):
     # parity: ocr_service.py:213-246). Falls back to latin when no
     # devanagari checkpoint is configured.
     rec_charset: str = "auto"  # auto | latin | devanagari | multilingual
-    rec_width_buckets: tuple[int, ...] = (80, 160, 320, 640)
+    # 1280 exists for over-wide form rows (dotted leaders squeeze 3.5x into
+    # 640; CTC at stride 4 runs out of frames for 80-dot runs — the wide
+    # bucket halves the squeeze and the w640 fine-tune covers the regime)
+    rec_width_buckets: tuple[int, ...] = (80, 160, 320, 640, 1280)
     rec_batch_size: int = 64
     det_batch_size: int = 8
     max_boxes_per_page: int = 1024
