@@ -131,6 +131,10 @@ class Settings(BaseModel):
     # than generous blind padding (walks into neighbors at small gaps);
     # kept as an option for sparse-layout documents
     det_ink_snap: bool = False
+    # EXPAND-ONLY ink walk (union of DB box and the contiguous ink band it
+    # overlaps): fixes the under-sized DB response on large bold titles
+    # without the tightening hazard above
+    det_ink_expand: bool = True
     # margin for Devanagari re-segmented boxes (engine/script.py). These
     # boxes are INK-TIGHT (unlike DB's stride-2-quantized boxes, which
     # need det_box_pad_ratio=0.65 to recover clipped glyphs), so a small

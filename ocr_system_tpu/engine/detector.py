@@ -211,7 +211,7 @@ class Detector:
                 # ink-snap + proportional margin: DB's stride-2 prob map
                 # quantizes tiny-text box edges; snap extents to the actual
                 # ink, then pad a small margin for the recognizer
-                if s.det_ink_snap:
+                if s.det_ink_snap or s.det_ink_expand:
                     from ocr_system_tpu.engine.recognizer import _to_gray
                     from ocr_system_tpu.ops.sampling import (
                         quads_are_axis_aligned,
@@ -220,7 +220,10 @@ class Detector:
                     gray_page = _to_gray(pages[i])
                     for b in boxes:
                         if quads_are_axis_aligned(b.quad[None]):
-                            _ink_snap(gray_page, b.quad)
+                            _ink_snap(
+                                gray_page, b.quad,
+                                expand_only=not s.det_ink_snap,
+                            )
                 for b in boxes:
                     _pad_quad(
                         b.quad, s.det_box_pad_ratio, w, h,
@@ -288,7 +291,8 @@ class Detector:
 
 
 def _ink_snap(
-    gray: np.ndarray, quad: np.ndarray, max_walk_ratio: float = 1.2
+    gray: np.ndarray, quad: np.ndarray, max_walk_ratio: float = 1.2,
+    expand_only: bool = False,
 ) -> None:
     """Snap an axis-aligned quad's extents to the ink it covers, in place.
 
@@ -318,6 +322,13 @@ def _ink_snap(
     dark_cols = (win < ink_t).sum(axis=0)
     dark_rows_full = win < ink_t
 
+    if expand_only:
+        # horizontal walk reads only the box's own row band: the full
+        # window includes rules/neighbor rows above and below, and a
+        # horizontal table rule would otherwise make every column "dark"
+        # and drag the edge to the window limit
+        dark_cols = dark_rows_full[y0 - wy0 : y1 - wy0].sum(axis=0)
+
     def col_dark(x):  # page x -> ink pixels in that column of the window
         return dark_cols[x - wx0] > 0
 
@@ -334,9 +345,33 @@ def _ink_snap(
     rows = np.nonzero(sub.any(axis=1))[0]
     if len(rows) == 0:
         return
-    ny0, ny1 = wy0 + int(rows[0]), wy0 + int(rows[-1]) + 1
-    # reject pathological growth (swallowed a ruled line / neighbor block)
-    if (ny1 - ny0) > 3.0 * box_h or (nx1 - nx0) > (x1 - x0) + 4 * box_h:
+    if expand_only:
+        # union with the original extents: tightening measured worse (a
+        # snapped edge that guesses wrong clips a glyph — unrecoverable),
+        # but EXPANSION is safe and fixes the under-sized DB response on
+        # large bold text (a 22px title detected as a 13px band decodes to
+        # garbage; round-3 forms diagnosis). Walk the CONTIGUOUS ink band
+        # out from the box's own rows, where "ink" means glyph-like rows:
+        # a row that is ~all dark is a table rule, and a row whose only
+        # dark pixels are a vertical rule (1-2 px) is blank — both stop the
+        # walk, so bordered form cells never swallow their rules/neighbors.
+        nx0, nx1 = min(nx0, x0), max(nx1, x1)
+        span = max(sub.shape[1], 1)
+        cnt = sub.sum(axis=1)
+        row_ink = (cnt >= max(3, int(0.03 * span))) & (cnt <= 0.9 * span)
+        ny0, ny1 = y0, y1
+        lim0, lim1 = max(y0 - walk, wy0), min(y1 + walk, wy1)
+        while ny0 - 1 >= lim0 and row_ink[ny0 - 1 - wy0]:
+            ny0 -= 1
+        while ny1 < lim1 and row_ink[min(ny1 - wy0, len(row_ink) - 1)]:
+            ny1 += 1
+    else:
+        ny0, ny1 = wy0 + int(rows[0]), wy0 + int(rows[-1]) + 1
+    # reject pathological growth (swallowed a ruled line / neighbor block);
+    # expand_only's walks are already bounded per edge by `walk`
+    if not expand_only and (
+        (ny1 - ny0) > 3.0 * box_h or (nx1 - nx0) > (x1 - x0) + 4 * box_h
+    ):
         return
     quad[:, 0] = [nx0, nx1, nx1, nx0]
     quad[:, 1] = [ny0, ny0, ny1, ny1]
