@@ -272,7 +272,15 @@ class TextRenderer:
         ink = max(fg, 0.0)
         if r.random() < 0.7:  # vertical cell separators
             for _ in range(r.randint(1, 3)):
-                x = r.randint(0, max(text_w - 1, 1))
+                # half the bars sit at the crop edges: serving crops of
+                # bordered cells carry the rule exactly at x~0 / x~text_w,
+                # and bars at random interior x alone left edge bars
+                # decoding as '|' (round-3 residual diagnosis)
+                if r.random() < 0.5:
+                    x = r.choice([r.randint(0, 3),
+                                  max(text_w - r.randint(1, 4), 0)])
+                else:
+                    x = r.randint(0, max(text_w - 1, 1))
                 wpx = r.randint(1, 2)
                 arr[:, x:x + wpx] = np.minimum(
                     arr[:, x:x + wpx], ink + r.uniform(0.0, 0.15)
