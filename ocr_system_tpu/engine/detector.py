@@ -89,20 +89,31 @@ class Detector:
                 and jax.default_backend() not in ("cpu", "gpu")
             )
 
-            wire4 = s.det_wire_bits == 4
+            wire_bits = s.det_wire_bits
 
             @jax.jit
             def fwd(images):
                 # images: (B, S, S) uint8 GRAY canvases — or (B, S, S/2)
-                # with two 16-level pixels per byte when det_wire_bits=4
-                # (half the tunnel bytes). The models' 3-channel input is
-                # broadcast here, in HBM.
-                if wire4:
+                # with two 16-level pixels per byte when det_wire_bits=4,
+                # or (B, S, S/4) with four 4-level pixels per byte when
+                # det_wire_bits=2 (quarter the tunnel bytes; pair with the
+                # wire-sim training augmentation). The models' 3-channel
+                # input is broadcast here, in HBM.
+                b_, s_ = images.shape[0], images.shape[1]
+                if wire_bits == 4:
                     hi = (images >> 4).astype(jnp.uint8)
                     lo = (images & 15).astype(jnp.uint8)
-                    b_, s_ = images.shape[0], images.shape[1]
                     gray_u8 = (
                         jnp.stack([hi, lo], axis=-1).reshape(b_, s_, s_) * 17
+                    )
+                    f = gray_u8.astype(jnp.float32) / 255.0
+                elif wire_bits == 2:
+                    parts = [
+                        ((images >> sh) & 3).astype(jnp.uint8)
+                        for sh in (6, 4, 2, 0)
+                    ]
+                    gray_u8 = (
+                        jnp.stack(parts, axis=-1).reshape(b_, s_, s_) * 85
                     )
                     f = gray_u8.astype(jnp.float32) / 255.0
                 else:
@@ -241,12 +252,21 @@ class Detector:
         return [results[i] for i in range(len(pages))]
 
     def _pack_wire(self, batch: np.ndarray) -> np.ndarray:
-        """Optionally pack two 16-level pixels per byte along W
-        (det_wire_bits=4; unpacked in-graph by _forward's fwd)."""
-        if self.settings.det_wire_bits != 4:
-            return batch
-        g4 = batch >> 4
-        return (g4[:, :, 0::2] << 4 | g4[:, :, 1::2]).astype(np.uint8)
+        """Optionally pack two 16-level pixels per byte (det_wire_bits=4)
+        or four 4-level pixels per byte (det_wire_bits=2) along W;
+        unpacked in-graph by _forward's fwd."""
+        if self.settings.det_wire_bits == 4:
+            g4 = batch >> 4
+            return (g4[:, :, 0::2] << 4 | g4[:, :, 1::2]).astype(np.uint8)
+        if self.settings.det_wire_bits == 2:
+            # round to the nearest of 4 levels (floor costs ~0.5 level of
+            # error on antialiased glyph edges — measurable at 12px fonts)
+            g2 = (batch.astype(np.uint16) * 3 + 127) // 255
+            return (
+                g2[:, :, 0::4] << 6 | g2[:, :, 1::4] << 4
+                | g2[:, :, 2::4] << 2 | g2[:, :, 3::4]
+            ).astype(np.uint8)
+        return batch
 
 
     # ---- dp sharding helpers ----

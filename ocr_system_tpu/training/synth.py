@@ -299,6 +299,10 @@ class TextRenderer:
 
     def _augment(self, arr: np.ndarray) -> np.ndarray:
         r = self.rng
+        if r.random() < 0.35:
+            # wire-sim: serving rec crops come from the det canvas, which
+            # at det_wire_bits=2 carries 4 gray levels (0, 1/3, 2/3, 1)
+            arr = np.round(arr * 3.0) / 3.0
         if r.random() < 0.5:  # gaussian noise
             arr = arr + np.random.default_rng(r.randrange(1 << 30)).normal(
                 0, r.uniform(0.01, 0.05), arr.shape

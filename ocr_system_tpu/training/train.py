@@ -204,7 +204,12 @@ def make_det_train_step(model, optimizer, mesh: Mesh):
         lo = (packed & 15).astype(jnp.float32)
         f = jnp.stack([hi, lo], axis=-1).reshape(b, s, s) / 15.0
         key = jax.random.PRNGKey(batch["noise_seed"][0])
-        kn, ks, kp = jax.random.split(key, 3)
+        kn, ks, kp, kq = jax.random.split(key, 4)
+        # wire-sim: half the samples quantize to 4 gray levels, matching
+        # what det_wire_bits=2 serving delivers after in-graph unpack —
+        # the model must hold quality on the quarter-byte wire
+        apply_q = jax.random.uniform(kq, (b, 1, 1)) < 0.5
+        f = jnp.where(apply_q, jnp.round(f * 3.0) / 3.0, f)
         std = jax.random.uniform(ks, (b, 1, 1), maxval=0.04)
         apply_noise = (
             jax.random.uniform(kp, (b, 1, 1)) < 0.5
