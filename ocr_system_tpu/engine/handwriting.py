@@ -64,17 +64,33 @@ def _dilate(mask: np.ndarray, k: int = 3) -> np.ndarray:
         return out
 
 
-def _is_clean_text(content: str, confidence: float) -> bool:
+def _is_clean_text(
+    content: str,
+    confidence: float,
+    box_w: float | None = None,
+    box_h: float | None = None,
+) -> bool:
     """A decode that reads like real printed text: squiggles come back as
     short symbol soup ('Y4', '\\W^M') even at high confidence, while
     printed words decode to alnum-dominated strings. Combining marks
     (Mn/Mc) count as letters: Indic matras are real text, and a printed
     Devanagari header is exactly the kind of wide shirorekha-connected
-    component the CC shape test mistakes for a pen stroke."""
+    component the CC shape test mistakes for a pen stroke.
+
+    When box geometry is given, the decode must also be DENSE enough for
+    print: a recognizer robust to artifacts decodes a squiggle to short
+    alnum soup ('2Aucr' at conf 0.69 for a 200px-wide stroke), but print
+    at that width would yield ~box_w / (0.6 * box_h) characters — a
+    decode under a third of that is pen, not type (round-3 regression:
+    the rule-artifact rec fine-tune un-souped squiggle decodes and the
+    alnum test alone started vetoing real signatures)."""
     import unicodedata
 
     t = content.strip()
-    if len(t) < 3 or confidence < 0.5:
+    # 0.78: print decodes at 0.9+, squiggles at 0.6-0.8 even when the
+    # robust rec maps them to alnum soup ('2Aucr' at 0.69). The old 0.5
+    # gate predates the rule-artifact fine-tune that un-souped squiggles.
+    if len(t) < 3 or confidence < 0.78:
         return False
     alnum = sum(
         c.isalnum()
@@ -82,7 +98,13 @@ def _is_clean_text(content: str, confidence: float) -> bool:
         or unicodedata.category(c) in ("Mn", "Mc")
         for c in t
     )
-    return alnum / len(t) >= 0.7
+    if alnum / len(t) < 0.7:
+        return False
+    if box_w and box_h and box_h > 0:
+        expected = box_w / (0.6 * box_h)
+        if len(t) < 0.3 * expected:
+            return False
+    return True
 
 
 def detect_handwriting(
@@ -143,12 +165,13 @@ def detect_handwriting(
         area = float(cw * ch)
         vetoed = False
         for wb in word_boxes:
-            if wb.get("type") != "word" or not _is_clean_text(
-                wb.get("content", ""), wb.get("confidence", 0.0)
-            ):
-                continue
             px = wb["polygon"][0::2]
             py = wb["polygon"][1::2]
+            if wb.get("type") != "word" or not _is_clean_text(
+                wb.get("content", ""), wb.get("confidence", 0.0),
+                box_w=max(px) - min(px), box_h=max(py) - min(py),
+            ):
+                continue
             ix = min(x1 + 1, max(px)) - max(x0, min(px))
             iy = min(y1 + 1, max(py)) - max(y0, min(py))
             if ix > 0 and iy > 0 and (ix * iy) / area > 0.5:
@@ -224,6 +247,55 @@ def handwriting_to_fields(
                 "field_type": "signature",
                 "confidence": hand_boxes[best]["confidence"],
                 "page_number": wb.get("page_number", 1),
+            }
+        )
+    # second pass: a pixel-verified squiggle with NO keyword label still
+    # belongs to its nearest label — forms label signature lines with
+    # arbitrary keys ('Authorised', a name, a custom field), and the
+    # reference's extractor pairs by layout, not by keyword
+    # (gemini_service.py:235-364 sees the squiggle next to its label).
+    # The box itself is the evidence; the label just names the field.
+    for i, hb in enumerate(hand_boxes):
+        if i in used:
+            continue
+        hx = hb["polygon"][0::2]
+        hy = hb["polygon"][1::2]
+        h_x0, h_y0 = min(hx), min(hy)
+        h_yc = (min(hy) + max(hy)) / 2.0
+        best_wb = None
+        best_d = None
+        for wb in words:
+            if hb.get("page_number") != wb.get("page_number"):
+                continue
+            wx = wb["polygon"][0::2]
+            wy = wb["polygon"][1::2]
+            w_x1 = max(wx)
+            w_y0, w_y1 = min(wy), max(wy)
+            w_h = max(w_y1 - w_y0, 1.0)
+            same_row = abs(h_yc - (w_y0 + w_y1) / 2.0) < w_h * 1.5
+            right_d = h_x0 - w_x1
+            below = h_y0 - w_y1
+            if same_row and -w_h <= right_d <= w_h * 10:
+                d = max(right_d, 0.0)
+            elif -w_h * 2 <= below <= w_h * 3.0 and h_x0 < w_x1 + w_h * 10:
+                d = max(below, 0.0) + w_h
+            else:
+                continue
+            if best_d is None or d < best_d:
+                best_wb, best_d = wb, d
+        if best_wb is None:
+            continue
+        used.add(i)
+        # label word runs often end with the key's last word; take the
+        # trailing "Key:"-like text (strip a value if the run merged one)
+        key = best_wb["content"].strip().rstrip(":")
+        fields.append(
+            {
+                "field_key": key,
+                "field_value": "signed",
+                "field_type": "signature",
+                "confidence": round(hb["confidence"] * 0.8, 4),
+                "page_number": best_wb.get("page_number", 1),
             }
         )
     return fields
