@@ -131,11 +131,35 @@ class TestFields:
         assert fields[0]["field_value"] == "signed"
         assert fields[0]["field_type"] == "signature"
 
-    def test_no_keyword_no_field(self):
+    def test_no_keyword_pairs_nearest_label(self):
+        """A pixel-verified squiggle with no keyword label pairs with its
+        nearest label word run at reduced confidence (reference parity:
+        Gemini pairs squiggles by layout, not by a keyword list — real
+        forms label signature lines with arbitrary keys)."""
         hand = [{
             "type": "handwriting", "content": "", "confidence": 0.8,
             "polygon": [100.0, 100.0, 300.0, 100.0,
                         300.0, 140.0, 100.0, 140.0],
+            "page_number": 1,
+        }]
+        words = [{
+            "type": "word", "content": "Comments", "confidence": 0.9,
+            "polygon": [20.0, 105.0, 90.0, 105.0, 90.0, 130.0, 20.0, 130.0],
+            "page_number": 1,
+        }]
+        fields = handwriting_to_fields(hand, words)
+        assert len(fields) == 1
+        assert fields[0]["field_key"] == "Comments"
+        assert fields[0]["field_value"] == "signed"
+        assert fields[0]["confidence"] < 0.8  # keyword-less: discounted
+
+    def test_far_squiggle_stays_unpaired(self):
+        """The nearest-label fallback still requires proximity — a
+        handwriting box nowhere near any word run yields no field."""
+        hand = [{
+            "type": "handwriting", "content": "", "confidence": 0.8,
+            "polygon": [700.0, 700.0, 900.0, 700.0,
+                        900.0, 740.0, 700.0, 740.0],
             "page_number": 1,
         }]
         words = [{
