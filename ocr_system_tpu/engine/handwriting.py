@@ -112,6 +112,7 @@ def detect_handwriting(
     word_boxes: list[dict],
     page_number: int = 1,
     max_dim: int = 64,
+    cc=None,
 ) -> list[dict]:
     """page: (H, W[, 3]) uint8; word_boxes: recognized TEXT boxes (used to
     veto candidates that decode as clean printed text).
@@ -123,9 +124,12 @@ def detect_handwriting(
     to symbol soup, so a clean confident decode vetoes a candidate
     afterwards (an OOD squiggle can decode with conf ~0.8, which is why
     confidence alone cannot gate)."""
-    raw = _ink_mask(np.ascontiguousarray(page))
+    if cc is None:
+        from ocr_system_tpu.engine.selection_marks import page_components
+
+        cc = page_components(page)
+    raw, labels, n, bboxes = cc
     h, w = raw.shape
-    labels, n, bboxes = _components(raw)
     marks: list[dict] = []
     page_diag = max(h, w)
     for comp in range(1, n + 1):

@@ -125,8 +125,7 @@ class JaxOCREngine:
         )
         if deva is None:
             return [self.recognizer] * n
-        out = []
-        for p, d in zip(pages, dets):
+        def route_one(p, d):
             pixels = d.page if d.page is not None else p.pixels
             quads = np.array(
                 [b.quad for b in d.boxes], np.float32
@@ -140,10 +139,17 @@ class JaxOCREngine:
                     pixels, d.boxes,
                     pad_ratio=self.settings.deva_reseg_pad_ratio,
                 )
-                out.append(deva)
-            else:
-                out.append(self.recognizer)
-        return out
+                return deva
+            return self.recognizer
+
+        if n <= 1:
+            return [route_one(p, d) for p, d in zip(pages, dets)]
+        # host-bound per-page work (ink CC voting), GIL-releasing — same
+        # rationale as the parallel _finish_page in rec_stage
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, n)) as ex:
+            return list(ex.map(lambda pd: route_one(*pd), zip(pages, dets)))
 
     # -- single page --
 
@@ -180,6 +186,12 @@ class JaxOCREngine:
             t.to_layout_box() for t in find_tables(word_boxes, page.page_number)
         ]
         mark_boxes: list[dict] = []
+        cc = None
+        if (self.settings.enable_selection_marks
+                or self.settings.enable_handwriting_detection):
+            from ocr_system_tpu.engine.selection_marks import page_components
+
+            cc = page_components(pixels)  # shared mask+CC: one pass per page
         if self.settings.enable_selection_marks:
             from ocr_system_tpu.engine.selection_marks import (
                 detect_selection_marks,
@@ -187,13 +199,14 @@ class JaxOCREngine:
             )
 
             mark_boxes = filter_marks_against_words(
-                detect_selection_marks(pixels, page.page_number), word_boxes
+                detect_selection_marks(pixels, page.page_number, cc=cc),
+                word_boxes,
             )
         if self.settings.enable_handwriting_detection:
             from ocr_system_tpu.engine.handwriting import detect_handwriting
 
             hand_boxes = detect_handwriting(
-                pixels, word_boxes, page.page_number
+                pixels, word_boxes, page.page_number, cc=cc
             )
             mark_boxes += hand_boxes
             if hand_boxes:
@@ -296,10 +309,26 @@ class JaxOCREngine:
             for d in dets
         ]
         recs_list = self._recognize(pages, dets, quads_list, recognizers)
-        return [
-            self._finish_page(p, d, t0, recs=r)
-            for p, d, r in zip(pages, dets, recs_list)
-        ]
+        if len(pages) <= 1:
+            return [
+                self._finish_page(p, d, t0, recs=r)
+                for p, d, r in zip(pages, dets, recs_list)
+            ]
+        # page finishing is host-bound numpy/cv2/C++-CC work that releases
+        # the GIL (ink mask, selection marks, handwriting, reading order) —
+        # profiled at ~36 ms/page vs 30 ms for the whole wave's recognition
+        # dispatch, so finish pages in parallel rather than serially
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(pages))) as ex:
+            return list(
+                ex.map(
+                    lambda pdr: self._finish_page(
+                        pdr[0], pdr[1], t0, recs=pdr[2]
+                    ),
+                    zip(pages, dets, recs_list),
+                )
+            )
 
     def _recognize(self, pages, dets, quads_list, recognizers=None):
         """Dispatch recognition, grouped by the per-page recognizer the

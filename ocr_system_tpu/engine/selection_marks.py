@@ -71,12 +71,25 @@ def _components(mask: np.ndarray):
         return labels, n, bboxes
 
 
-def detect_selection_marks(
-    page: np.ndarray, page_number: int = 1
-) -> list[dict]:
-    """page: (H, W[, 3]) uint8 -> Azure-shaped selection_mark layout boxes."""
+def page_components(page: np.ndarray):
+    """Shared ink mask + connected components for the host post-passes.
+
+    detect_selection_marks, detect_handwriting (and anything else reading
+    page ink) use the SAME mask and labeling — computing it once per page
+    halves the host post-process cost, which profiling showed dominating
+    the rec stage wall (adaptiveThreshold + CC ran 2x per page at ~36 ms
+    while the recognition dispatch itself took 30 ms for the whole wave)."""
     mask = _ink_mask(np.ascontiguousarray(page))
     labels, n, bboxes = _components(mask)
+    return mask, labels, n, bboxes
+
+
+def detect_selection_marks(
+    page: np.ndarray, page_number: int = 1, cc=None
+) -> list[dict]:
+    """page: (H, W[, 3]) uint8 -> Azure-shaped selection_mark layout boxes.
+    cc: optional precomputed page_components(page) tuple."""
+    mask, labels, n, bboxes = cc if cc is not None else page_components(page)
     marks: list[dict] = []
     for comp in range(1, n + 1):
         x0, y0, x1, y1 = (int(v) for v in bboxes[comp])
