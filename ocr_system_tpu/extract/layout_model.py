@@ -109,61 +109,67 @@ def element_vote(
     tag_ids: np.ndarray,
     word_of: list[int],
     n_valid: int,
+    tokens_text: str,
 ) -> np.ndarray:
-    """Element-consistent tag refinement (decode-time, model unchanged).
+    """Sub-word-consistent tag refinement (decode-time, model unchanged).
 
-    Char-level argmax tags churn INSIDE a word box on out-of-family forms
-    ('Organisation' tagged Kvvvkvvvvvkkk char by char) — but a det word box
-    is one unit of meaning: it is entirely key, entirely value, or an
-    inline 'Key: Value' element that splits exactly once. Pool the tag
-    log-probs over each element and rewrite its chars to the pooled kind;
-    keep a char-level split only when the element's own tags form a clean
-    K-prefix/V-suffix partition (the inline style). Round-3 held-out
-    diagnosis: intra-element churn was the largest decode-level F1 loss.
+    Char-level argmax tags churn INSIDE a word on out-of-family forms
+    ('Organisation' tagged Kvvvkvvvvvkkk char by char) — but a word is one
+    unit of meaning. Pool the tag log-probs over each space-delimited
+    sub-word WITHIN each det box and rewrite its chars to the pooled kind.
+    Pooling per sub-word (not per whole box) matters because the real det
+    stage emits row-level boxes spanning several fields ('Name: Nina
+    Smith  Date: May 8' is ONE box) — whole-box pooling would collapse a
+    K V K V row to a single kind, sub-word pooling preserves the
+    alternation. A separator space between two same-kind sub-words takes
+    the continuation tag so the span survives decode intact.
     Parity bar: Gemini reads whole words (gemini_service.py:235-364)."""
     out = np.array(tag_ids, copy=True)
     if not len(word_of):
         return out
-    kind_of = {_I_O: 0, _I_BK: 1, _I_IK: 1, _I_BV: 2, _I_IV: 2}
-    # token index ranges per element
+    n = min(n_valid, len(word_of), len(tokens_text))
     a = 0
-    n = min(n_valid, len(word_of))
     while a < n:
         b = a
         while b < n and word_of[b] == word_of[a]:
             b += 1
-        kinds = np.array([kind_of[int(t)] for t in tag_ids[a:b]])
-        # inline split: best s so that [a,s) is K and [s,b) is V
-        best_s, best_score = -1, -1.0
-        nk_total = int((kinds == 1).sum())
-        nv_total = int((kinds == 2).sum())
-        if nk_total >= 2 and nv_total >= 2:
-            for s in range(a + 2, b - 1):
-                left = kinds[: s - a]
-                right = kinds[s - a:]
-                pk = float((left == 1).mean())
-                pv = float((right == 2).mean())
-                if pk >= 0.6 and pv >= 0.6 and pk + pv > best_score:
-                    best_s, best_score = s, pk + pv
-        if best_s >= 0:
-            out[a:best_s] = _I_IK
-            out[a] = _I_BK
-            out[best_s:b] = _I_IV
-            out[best_s] = _I_BV
-        else:
-            lp = tag_logp[a:b]
+        # sub-words: maximal non-space runs within [a, b)
+        segs: list[tuple[int, int]] = []
+        i = a
+        while i < b:
+            if tokens_text[i] == " ":
+                i += 1
+                continue
+            j = i
+            while j < b and tokens_text[j] != " ":
+                j += 1
+            segs.append((i, j))
+            i = j
+        prev_kind = 0
+        prev_end = a
+        for (i, j) in segs:
+            lp = tag_logp[i:j]
             score_o = float(lp[:, _I_O].sum())
             score_k = float(np.logaddexp(lp[:, _I_BK], lp[:, _I_IK]).sum())
             score_v = float(np.logaddexp(lp[:, _I_BV], lp[:, _I_IV]).sum())
             kind = int(np.argmax([score_o, score_k, score_v]))
             if kind == 0:
-                out[a:b] = _I_O
+                out[i:j] = _I_O
             elif kind == 1:
-                out[a:b] = _I_IK
-                out[a] = _I_BK
+                out[i:j] = _I_IK
+                out[i] = _I_IK if prev_kind == 1 else _I_BK
             else:
-                out[a:b] = _I_IV
-                out[a] = _I_BV
+                out[i:j] = _I_IV
+                out[i] = _I_IV if prev_kind == 2 else _I_BV
+            # separator spaces continue a same-kind span across sub-words
+            if prev_kind == kind and kind != 0:
+                cont = _I_IK if kind == 1 else _I_IV
+                out[prev_end:i] = cont
+            else:
+                out[prev_end:i] = _I_O
+            prev_kind, prev_end = kind, j
+        if prev_end < b:
+            out[prev_end:b] = _I_O
         a = b
     return out
 
@@ -424,7 +430,6 @@ class LayoutModelExtractor:
         tag_logp = np.asarray(
             jax.nn.log_softmax(out["tag_logits"][0].astype(jnp.float32), -1)
         )
-        tag_ids = element_vote(tag_logp, tag_ids, word_of, n_valid)
         type_ids = np.asarray(jnp.argmax(out["type_logits"][0], -1))
         conf = np.asarray(out["confidence"][0])
         form_idx = int(jnp.argmax(out["form_logits"][0]))
@@ -432,6 +437,9 @@ class LayoutModelExtractor:
         # them, which would misalign span indices into tokens_text)
         tokens_text = "".join(
             self.charset.id_to_char(int(i)) or " " for i in ids[:n_valid]
+        )
+        tag_ids = element_vote(
+            tag_logp, tag_ids, word_of, n_valid, tokens_text
         )
 
         fields = decode_tags(tag_ids, type_ids, conf, tokens_text, boxes, n_valid)

@@ -309,6 +309,107 @@ def evaluate_form_extraction(
     )
 
 
+def evaluate_form_extraction_e2e(
+    engine,
+    extractor,
+    n_docs: int = 10,
+    page_size: int = 960,
+    seed: int = 4242,
+    generator=None,
+) -> dict:
+    """Field-pair F1 THROUGH the real OCR pipeline.
+
+    evaluate_form_extraction feeds the extractor synthetic word boxes with
+    injected noise — it measures the extractor in isolation. This renders
+    each form to pixels, runs the FULL engine (det + rec + reading order +
+    pixel passes), feeds the engine's word boxes to the extractor (the
+    orchestrator's exact artifact, service/orchestrator.py), merges the
+    handwriting signature fields, and scores against the spec's pairs —
+    the number a user of the reference's OCR->Gemini flow actually sees.
+
+    Reports exact-match F1 and a CER-tolerant F1 (key and value within
+    0.25 CER): OCR noise turns near-misses into hard misses, so the
+    relaxed figure separates extraction failures from recognition noise.
+    """
+    import numpy as np
+
+    from ocr_system_tpu.engine.handwriting import handwriting_to_fields
+    from ocr_system_tpu.engine.preprocess import PageImage
+    from ocr_system_tpu.training import synth_forms as SF
+
+    gen = generator or SF.FormGenerator(seed=seed)
+    tp = fp = fn = 0
+    rtp = rfp = rfn = 0
+    for _ in range(n_docs):
+        spec = gen.generate(page_size)
+        page = SF.render_spec(spec, augment=False)
+        pixels = (page.image * 255).astype(np.uint8)
+        out = engine.process_pages([PageImage(pixels, 1)])[0]
+        words = [
+            b for b in out.layout_boxes if b.get("type") == "word"
+        ]
+        result = extractor.extract_from_layout(
+            words, (page_size, page_size), ocr_text=out.markdown
+        )
+        got = {
+            _norm_key(f.field_key): _norm_val(f.field_value)
+            for f in result.fields
+            if f.field_key.strip() and f.field_value.strip()
+        }
+        hand = [
+            b for b in out.layout_boxes if b.get("type") == "handwriting"
+        ]
+        for sf in handwriting_to_fields(hand, out.layout_boxes):
+            got.setdefault(
+                _norm_key(sf["field_key"]), _norm_val(sf["field_value"])
+            )
+        truth = {
+            _norm_key(k): _norm_val(v) for k, v, _ in spec.pairs if v.strip()
+        }
+        for k, v in got.items():
+            if truth.get(k) == v:
+                tp += 1
+            else:
+                fp += 1
+        for k, v in truth.items():
+            if got.get(k) != v:
+                fn += 1
+
+        def _near(a: str, b: str) -> bool:
+            return cer(a, b) <= 0.25
+
+        matched_g = set()
+        for k, v in truth.items():
+            hit = None
+            for gk, gv in got.items():
+                if gk in matched_g:
+                    continue
+                if _near(k, gk) and _near(v, gv):
+                    hit = gk
+                    break
+            if hit is not None:
+                matched_g.add(hit)
+                rtp += 1
+            else:
+                rfn += 1
+        rfp += len(got) - len(matched_g)
+
+    def _prf(a, b, c):
+        p = a / max(a + b, 1)
+        r = a / max(a + c, 1)
+        return {
+            "precision": round(p, 4),
+            "recall": round(r, 4),
+            "f1": round(2 * p * r / max(p + r, 1e-9), 4),
+        }
+
+    return {
+        "n_docs": n_docs,
+        "exact": _prf(tp, fp, fn),
+        "relaxed_cer_0.25": _prf(rtp, rfp, rfn),
+    }
+
+
 def evaluate_signature_detection(
     engine, n_docs: int = 10, page_size: int = 960, seed: int = 24601
 ) -> dict:

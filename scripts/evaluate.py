@@ -46,6 +46,11 @@ def main() -> None:
         help="e2e signature-detection eval on N squiggle forms "
              "(requires --e2e engine)",
     )
+    p.add_argument(
+        "--forms-e2e", type=int, default=0,
+        help="field-extraction F1 through the REAL OCR pipeline on N "
+             "forms (requires --e2e engine)",
+    )
     p.add_argument("--extract-checkpoint", default="checkpoints/extract")
     args = p.parse_args()
 
@@ -190,6 +195,23 @@ def main() -> None:
 
             e2e_report["signatures"] = evaluate_signature_detection(
                 engine, n_docs=args.signatures
+            )
+        if args.forms_e2e:
+            from ocr_system_tpu.extract.layout_model import (
+                LayoutModelExtractor,
+            )
+            from ocr_system_tpu.training.evaluate import (
+                evaluate_form_extraction_e2e,
+            )
+
+            lm_e2e = LayoutModelExtractor(
+                Settings(
+                    extract_checkpoint=args.extract_checkpoint,
+                    storage_root="storage",
+                )
+            )
+            e2e_report["form_extraction_e2e"] = evaluate_form_extraction_e2e(
+                engine, lm_e2e, n_docs=args.forms_e2e
             )
 
     print(
