@@ -711,46 +711,21 @@ def spec_to_tokens(
                 pos += 1
             ci += 1
 
-    # row-merge augmentation: the REAL det stage often emits one box per
-    # text ROW — 'Name: Nina Smith   Date: May 8, 2017' arrives as a single
-    # word box whose coords span two key/value pairs. Training only on
-    # per-element boxes left the extractor helpless on that granularity
-    # (round-3 pipeline-e2e F1 0.46 vs 0.93 on synthetic boxes). A third
-    # of rows train with every element sharing the row's union box.
-    ordered = _reading_order(spec.elements)
-    row_box: dict[int, tuple] = {}
-    rows: list[list[int]] = []
-    for idx, e in enumerate(ordered):
-        yc = (e.y0 + e.y1) / 2
-        h = max(e.y1 - e.y0, 1.0)
-        for row in rows:
-            e0 = ordered[row[0]]
-            if abs(yc - (e0.y0 + e0.y1) / 2) < 0.6 * max(e0.y1 - e0.y0, h):
-                row.append(idx)
-                break
-        else:
-            rows.append([idx])
-    for row in rows:
-        if len(row) >= 2 and rng.random() < 0.35:
-            u = (
-                min(ordered[i].x0 for i in row),
-                min(ordered[i].y0 for i in row),
-                max(ordered[i].x1 for i in row),
-                max(ordered[i].y1 for i in row),
-            )
-            for i in row:
-                row_box[i] = u
-
-    for idx, e in enumerate(ordered):
+    # NOTE on a rejected augmentation: the real det stage sometimes emits
+    # one box per ROW ('Name: Nina  Date: May 8' spans two pairs), and
+    # training a fraction of rows with a shared union box was tried to
+    # match that granularity. Measured twice (rates 0.35 and 0.25, from
+    # scratch and as a fine-tune): pipeline-e2e relaxed F1 +0.02-0.03 but
+    # held-out-family F1 -0.11-0.13 — identical coords for K and V tokens
+    # teach the model to ignore geometry. The serving-side fix that DID
+    # hold is sub-word logit pooling in extract/layout_model.element_vote.
+    for e in _reading_order(spec.elements):
         if pos >= max_len:
             break
         if e.role == "value" and e.field_type == "signature":
             continue  # squiggle: no readable tokens exist for the model
-        if idx in row_box:
-            cb = [row_box[idx]] * max(len(e.text), 1)
-        else:
-            per_word = rng.random() < 0.5
-            cb = _char_boxes(e.text, e.x0, e.y0, e.x1, e.y1, per_word)
+        per_word = rng.random() < 0.5
+        cb = _char_boxes(e.text, e.x0, e.y0, e.x1, e.y1, per_word)
         ftype_id = type_index.get(e.field_type, 0)
         if e.role == "kv" and ":" in e.text:
             k_len = e.text.index(":") + 1
