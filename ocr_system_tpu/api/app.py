@@ -86,6 +86,41 @@ class ApiContext:
         self.export_records: dict[str, dict] = {}  # reference _export_cache
         self.started_at = time.time()
         seed_templates(self.repos)
+        if self.settings.warmup_on_start and self.settings.ocr_engine != "fake":
+            self._start_warmup()
+
+    def _start_warmup(self) -> None:
+        """Precompile the standard serving shapes in a background thread.
+
+        A cold (det bucket, rec width, crop count) combo costs 30-60 s of
+        remote compile over the TPU tunnel (a trivial novel-shape matmul
+        alone measured 36 s) — without warmup the first few user uploads
+        each eat one. A synthetic form page at the largest det bucket
+        exercises det + the common rec combos; the persistent compile
+        cache makes later processes load the same executables in seconds."""
+        import threading
+
+        def _warm():
+            try:
+                import numpy as np
+
+                from ocr_system_tpu.engine.preprocess import PageImage
+                from ocr_system_tpu.training import synth_forms as SF
+
+                engine = self.orchestrator.engine
+                if not hasattr(engine, "process_pages"):
+                    return
+                spec = SF.FormGenerator(seed=1).generate(
+                    max(self.settings.det_image_buckets)
+                )
+                page = SF.render_spec(spec, augment=False)
+                pixels = (page.image * 255).astype(np.uint8)
+                engine.process_pages([PageImage(pixels, 1)])
+                logger.info("engine warmup complete")
+            except Exception:
+                logger.exception("engine warmup failed (non-fatal)")
+
+        threading.Thread(target=_warm, daemon=True, name="warmup").start()
 
 
 def create_app(ctx: ApiContext | None = None) -> App:

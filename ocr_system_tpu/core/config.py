@@ -150,8 +150,20 @@ class Settings(BaseModel):
     rec_charset: str = "auto"  # auto | latin | devanagari | multilingual
     # 1280 exists for over-wide form rows (dotted leaders squeeze 3.5x into
     # 640; CTC at stride 4 runs out of frames for 80-dot runs — the wide
-    # bucket halves the squeeze and the w640 fine-tune covers the regime)
-    rec_width_buckets: tuple[int, ...] = (80, 160, 320, 640, 1280)
+    # bucket halves the squeeze and the w640 fine-tune covers the regime).
+    # Few, coarse buckets on purpose: crops are device-resident (zero wire
+    # cost — padding is masked HBM compute at ~nothing), while every extra
+    # (bucket, count) pair is a separate executable that costs ~12 s to
+    # ship to the remote TPU on first touch. 80/160 buckets measured
+    # quality-neutral vs padding into 320 and cost two executables per
+    # count bucket.
+    rec_width_buckets: tuple[int, ...] = (320, 640, 1280)
+    # minimum padded crops-per-page (same executable-count rationale):
+    # counts pad to {floor, 2*floor, ...} instead of every power of two
+    rec_pad_floor: int = 16
+    # precompile serving shapes in a background thread at API startup
+    # (first-touch remote compiles cost 30-60 s each over the TPU tunnel)
+    warmup_on_start: bool = True
     rec_batch_size: int = 64
     det_batch_size: int = 8
     max_boxes_per_page: int = 1024

@@ -262,8 +262,9 @@ class Recognizer:
                 # zero-masked in the jitted fn)
                 # pad per-page crop counts to a shared static N (pow2 steps
                 # bound the compile cache like _pad_count does for batches)
-                n_per_page = _pad_count(
-                    max(len(g) for g in groups), s.rec_batch_size
+                n_per_page = max(
+                    _pad_count(max(len(g) for g in groups), s.rec_batch_size),
+                    getattr(s, "rec_pad_floor", 1),
                 )
                 q = np.zeros((n_pages, n_per_page, 4, 2), np.float32)
                 w_valid = np.full((n_pages, n_per_page), 1, np.int32)
