@@ -110,9 +110,12 @@ class Settings(BaseModel):
     mesh_shape: str = "dp=-1"  # e.g. "dp=4,tp=2"; -1 = fill remaining devices
     use_pallas_kernels: bool = True  # planar fused preprocessing on TPU
     # page wire format for detection upload: 8 = gray uint8, 4 = two
-    # 16-level pixels per byte (half the tunnel bytes; fine for
-    # high-contrast documents — measure CER before enabling in production)
-    det_wire_bits: int = 8
+    # 16-level pixels per byte (half the upload bytes), 2 = four 4-level
+    # pixels per byte (quarter; costs a few forms-CER points). 4 is the
+    # default: measured quality-equivalent (Latin forms 0.134 vs 0.141,
+    # Hindi 5.1% vs 7.4% — the wire-sim-trained models prefer it) and the
+    # page upload is the serving throughput ceiling on remote links.
+    det_wire_bits: int = 4
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     det_image_buckets: tuple[int, ...] = (640, 960, 1280)
