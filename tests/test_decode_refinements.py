@@ -1,0 +1,118 @@
+"""Unit tests for round-3 decode/geometry refinements.
+
+element_vote (extract/layout_model.py): sub-word tag-logit pooling.
+_ink_snap(expand_only=True) (engine/detector.py): expand-only ink walk.
+Both are pure host functions — no model, no mesh.
+"""
+
+import numpy as np
+
+from ocr_system_tpu.engine.detector import _ink_snap
+from ocr_system_tpu.extract.layout_model import (
+    _I_BK,
+    _I_BV,
+    _I_IK,
+    _I_IV,
+    _I_O,
+    element_vote,
+)
+
+
+def _logp_for(tags, n_tags=5, hot=0.0, cold=-10.0):
+    """Log-prob matrix that argmaxes to `tags`."""
+    lp = np.full((len(tags), n_tags), cold, np.float32)
+    for i, t in enumerate(tags):
+        lp[i, t] = hot
+    return lp
+
+
+class TestElementVote:
+    def test_intra_word_churn_pools_to_one_kind(self):
+        # one word box 'Organisation ' with churned tags: majority VAL
+        text = "Organisation "
+        tags = np.array(
+            [_I_BK] + [_I_IV] * 3 + [_I_IK] + [_I_IV] * 7 + [_I_O],
+            np.int32,
+        )
+        word_of = [0] * len(text)
+        out = element_vote(
+            _logp_for(tags), tags, word_of, len(text), text
+        )
+        kinds = {int(t) for t in out[:12]}  # the non-space chars
+        assert kinds == {_I_BV, _I_IV}  # pooled to a single VAL span
+
+    def test_kvkv_row_box_preserves_alternation(self):
+        # ONE det box containing two pairs: 'Name: Anna Date: May'
+        text = "Name: Anna Date: May "
+        k, v, o = _I_IK, _I_IV, _I_O
+        tags = np.array(
+            [k] * 5 + [o] + [v] * 4 + [o] + [k] * 5 + [o] + [v] * 3 + [o],
+            np.int32,
+        )
+        word_of = [0] * len(text)
+        out = element_vote(
+            _logp_for(tags), tags, word_of, len(text), text
+        )
+        # four sub-words, kinds K V K V — whole-box pooling would destroy
+        assert out[0] == _I_BK and all(out[1:5] == _I_IK)
+        assert out[6] == _I_BV and all(out[7:10] == _I_IV)
+        assert out[11] == _I_BK and all(out[12:16] == _I_IK)
+        assert out[17] == _I_BV
+
+    def test_same_kind_subwords_merge_across_space(self):
+        # 'Anna Rossi' both VAL: separator space takes I-VAL so one span
+        text = "Anna Rossi "
+        tags = np.array([_I_IV] * 4 + [_I_O] + [_I_IV] * 5 + [_I_O], np.int32)
+        word_of = [0] * len(text)
+        out = element_vote(
+            _logp_for(tags), tags, word_of, len(text), text
+        )
+        assert out[0] == _I_BV
+        assert out[4] == _I_IV  # the space continues the span
+        assert all(out[5:10] == _I_IV)
+
+
+def _page(h=60, w=200, bg=255):
+    return np.full((h, w), bg, np.uint8)
+
+
+class TestInkExpand:
+    def test_expands_to_glyph_band(self):
+        # ink rows 20..40 (a 20px-tall title with inter-glyph gaps, like
+        # real text — a SOLID full-width band would read as a table rule),
+        # DB box covers only 26..34
+        page = _page()
+        for x in range(50, 150, 10):
+            page[20:40, x:x + 6] = 0
+        quad = np.array(
+            [[50, 26], [150, 26], [150, 34], [50, 34]], np.float32
+        )
+        _ink_snap(page, quad, expand_only=True)
+        assert quad[:, 1].min() <= 20
+        assert quad[:, 1].max() >= 39
+
+    def test_never_tightens(self):
+        # box much taller than the ink: expand-only leaves it alone
+        page = _page()
+        page[28:32, 50:150] = 0
+        quad = np.array(
+            [[50, 10], [150, 10], [150, 50], [50, 50]], np.float32
+        )
+        before = quad.copy()
+        _ink_snap(page, quad, expand_only=True)
+        assert quad[:, 1].min() <= before[:, 1].min()
+        assert quad[:, 1].max() >= before[:, 1].max()
+
+    def test_rule_row_stops_the_walk(self):
+        # glyph band 26..34; a full-width table rule at rows 20-21 and a
+        # second text row above it must NOT be swallowed
+        page = _page()
+        page[26:34, 50:150] = 0     # the box's own glyphs
+        page[20:22, 0:200] = 0      # horizontal table rule
+        page[8:16, 50:150] = 0      # neighbor row above the rule
+        quad = np.array(
+            [[50, 27], [150, 27], [150, 33], [50, 33]], np.float32
+        )
+        _ink_snap(page, quad, expand_only=True)
+        assert quad[:, 1].min() >= 22  # stopped at the rule
+        assert quad[:, 1].max() <= 40
