@@ -182,6 +182,37 @@ def _gen_signature(r: random.Random) -> str:
     return "signed"
 
 
+# Devanagari form content (BASELINE config 3 extended to extraction: the
+# reference's Gemini reads Hindi forms as readily as English ones, so the
+# local extractor must train on Devanagari keys/values too). Real Hindi
+# form vocabulary plus open-vocab pseudo-words from common syllables —
+# same anti-memorization rationale as _pseudo_word. Numbers, dates and
+# currency stay ASCII (Indian forms overwhelmingly use ASCII digits).
+_WORDS_DEVA = (
+    "नाम पता फोन तारीख राशि कुल चालान संख्या ग्राहक हस्ताक्षर "
+    "भुगतान खाता शहर राज्य देश विवरण मात्रा मूल्य कर देय शेष "
+    "आवेदन प्रपत्र जन्म ईमेल कंपनी सेवा वस्तु आदेश रसीद बिल"
+).split()
+_SYL_DEVA = ("क खा गी चु जे तो दा नि पी बु मे रो ला वि सा ह "
+             "ना मा रा ता बा शा दी नी").split()
+
+
+def _pseudo_word_deva(r: random.Random) -> str:
+    return "".join(r.choice(_SYL_DEVA) for _ in range(r.randint(2, 3)))
+
+
+def _gen_name_deva(r: random.Random) -> str:
+    return f"{_pseudo_word_deva(r)} {_pseudo_word_deva(r)}"
+
+
+def _gen_text_deva(r: random.Random) -> str:
+    pool = _WORDS_DEVA if r.random() < 0.6 else None
+    return " ".join(
+        (r.choice(pool) if pool else _pseudo_word_deva(r))
+        for _ in range(r.randint(1, 3))
+    )
+
+
 def _gen_text(r: random.Random) -> str:
     if r.random() < 0.3:
         words = [_pseudo_word(r) for _ in range(r.randint(1, 3))]
@@ -207,6 +238,16 @@ _VALUE_GEN = {
     "checkbox": _gen_checkbox,
     "signature": _gen_signature,
     "text": _gen_text,
+}
+
+# Devanagari-form overrides: textual values switch script; numbers, dates,
+# currency, emails, phones and checkbox sentinels stay ASCII (real Indian
+# forms use ASCII digits and Latin emails)
+_VALUE_GEN_DEVA = {
+    **_VALUE_GEN,
+    "name": _gen_name_deva,
+    "text": _gen_text_deva,
+    "address": _gen_text_deva,
 }
 
 # (title pool, field pool) per form type; titles carry the keywords
@@ -305,12 +346,21 @@ FORM_TYPE_NAMES = tuple(_FORM_CONTENT)
 class FormGenerator:
     """Randomized form-spec generator with layout-style mixtures."""
 
-    def __init__(self, seed: int = 0, colon_fraction: float = 0.4):
+    def __init__(
+        self,
+        seed: int = 0,
+        colon_fraction: float = 0.4,
+        deva_fraction: float = 0.15,
+    ):
         self.rng = random.Random(seed)
         # fraction of separated key boxes that still carry a ':' suffix
         # (those merge into rules-parseable lines; the rest are the
         # geometry-only cases where the layout model must win)
         self.colon_fraction = colon_fraction
+        # fraction of forms whose keys + textual values are Devanagari
+        # (numbers/dates/currency stay ASCII like real Indian forms) —
+        # Gemini parity: the reference extracts Hindi forms transparently
+        self.deva_fraction = deva_fraction
 
     # key-vocabulary generalization: a slice of training forms uses RANDOM
     # synthetic keys so the extractor cannot memorize the key inventory and
@@ -349,11 +399,37 @@ class FormGenerator:
             pool.append((key, r.choice(types)))
         return pool
 
+    def _deva_field_pool(self, r: random.Random) -> list[tuple[str, str]]:
+        """Devanagari keys (real Hindi form words + open-vocab pseudo-words)
+        with value types whose textual generators switch to Devanagari in
+        generate() via _VALUE_GEN_DEVA."""
+        pool: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        types = list(_VALUE_GEN)
+        for _ in range(12):
+            words = [
+                (r.choice(_WORDS_DEVA) if r.random() < 0.6
+                 else _pseudo_word_deva(r))
+                for _ in range(r.randint(1, 2))
+            ]
+            key = " ".join(words)
+            if key in seen:
+                continue
+            seen.add(key)
+            pool.append((key, r.choice(types)))
+        return pool
+
     def generate(self, size: int = 960) -> FormSpec:
         r = self.rng
+        deva = r.random() < self.deva_fraction
         form_type = r.choice(FORM_TYPE_NAMES)
         titles, field_pool = _FORM_CONTENT[form_type]
-        if r.random() < self.RANDOM_KEY_FRACTION:
+        if deva:
+            # Hindi forms: type label space stays Latin -> "Unknown"
+            form_type = "Unknown"
+            titles = [r.choice(("आवेदन प्रपत्र", "चालान", "रसीद", "विवरण"))]
+            field_pool = self._deva_field_pool(r)
+        elif r.random() < self.RANDOM_KEY_FRACTION:
             form_type = "Unknown"
             titles = _FORM_CONTENT["Unknown"][0]
             field_pool = self._random_field_pool(r)
@@ -402,7 +478,7 @@ class FormGenerator:
         locked_style = r.random() if r.random() < 0.5 else None
 
         for slot, (key, ftype) in enumerate(chosen):
-            value = _VALUE_GEN[ftype](r)
+            value = (_VALUE_GEN_DEVA if deva else _VALUE_GEN)[ftype](r)
             col = slot % len(cols_y)
             x = margin + col * (col_w + 30)
             cy = cols_y[col]
