@@ -68,6 +68,11 @@ class Recognizer:
             )
         self.variables = params
         self._fn_cache: dict[tuple, object] = {}
+        # when set (a list), every compiled rec dispatch appends
+        # (compiled_fn, device_args) so a profiler can re-run the wave's
+        # exact dispatches warm and measure rec DEVICE time (the wall time
+        # of rec_stage is dominated by host post + tunnel latency)
+        self._profile_stash: list | None = None
 
     # ---- compiled stages ----
     #
@@ -281,16 +286,15 @@ class Recognizer:
                     run = self._multi_aabb_rec_fn(
                         shape, n_pages, n_per_page, bucket
                     )
-                    ids, conf, _ = run(
-                        stack_dev, jnp.asarray(aabbs), jnp.asarray(w_valid)
-                    )
+                    args = (stack_dev, jnp.asarray(aabbs), jnp.asarray(w_valid))
                 else:
                     run = self._multi_crop_rec_fn(
                         shape, n_pages, n_per_page, bucket
                     )
-                    ids, conf, _ = run(
-                        stack_dev, jnp.asarray(q), jnp.asarray(w_valid)
-                    )
+                    args = (stack_dev, jnp.asarray(q), jnp.asarray(w_valid))
+                ids, conf, _ = run(*args)
+                if self._profile_stash is not None:
+                    self._profile_stash.append((run, args))
                 texts = ctc.ids_to_text(ids, self.charset)
                 confs = np.asarray(conf)
                 for k, group in enumerate(groups):

@@ -86,8 +86,24 @@ def det_rec_breakdown(engine, pages) -> dict:
     timer = StageTimer()
     with timer.stage("det_wall"):
         dets = engine.det_stage(pages)
-    with timer.stage("rec_wall"):
-        engine.rec_stage(pages, dets)
+
+    # stash every compiled rec dispatch of the wave (fn + device args) so we
+    # can re-run them warm below and time rec DEVICE compute — rec_wall is
+    # dominated by host post-processing (CC, routing votes, text assembly)
+    # and tunnel dispatch latency, not the device
+    recs = {id(engine.recognizer): engine.recognizer}
+    for r in getattr(engine, "_script_recognizers", {}).values():
+        if r is not None:
+            recs[id(r)] = r
+    stash: list = []
+    for r in recs.values():
+        r._profile_stash = stash
+    try:
+        with timer.stage("rec_wall"):
+            engine.rec_stage(pages, dets)
+    finally:
+        for r in recs.values():
+            r._profile_stash = None
 
     out: dict = {"wave_pages": len(pages)}
     try:
@@ -114,11 +130,22 @@ def det_rec_breakdown(engine, pages) -> dict:
         if flops and det_dev_s > 0:
             out["det_mfu"] = round(flops / det_dev_s / _peak_flops(), 4)
             out["det_compute_pages_per_s"] = round(batch / det_dev_s, 2)
+        # rec device time: re-run the wave's exact compiled dispatches on
+        # their (already device-resident) args — one warm pass first so no
+        # compile or arg transfer pollutes the timed pass
+        if stash:
+            for run, args in stash:
+                jax.block_until_ready(run(*args))
+            with timer.stage("rec_device"):
+                for run, args in stash:
+                    jax.block_until_ready(run(*args))
         # compute-only throughput, tunnel discounted: device det forward +
-        # the whole rec stage (rec crops from device-resident canvases; its
-        # wall time is an upper bound on its device time, so this figure is
-        # conservative)
-        rec_s = timer.stages.get("rec_wall", 0.0) / 1000.0
+        # device rec dispatches (falls back to rec wall — an upper bound on
+        # device time — if no dispatch was stashed, e.g. a blank wave)
+        rec_s = (
+            timer.stages.get("rec_device", 0.0)
+            or timer.stages.get("rec_wall", 0.0)
+        ) / 1000.0
         if det_dev_s + rec_s > 0:
             out["compute_pages_per_s"] = round(
                 len(pages) / (det_dev_s + rec_s), 2

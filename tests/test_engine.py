@@ -122,6 +122,44 @@ class TestJaxEngineE2E:
             [r.text for r in row] for row in host
         ]
 
+    def test_rec_profile_stash_reruns(self, settings, form_image):
+        """The profiler's rec-device timing re-runs the wave's stashed
+        (compiled fn, device args) dispatches — the re-run must decode to
+        exactly what the wave decoded."""
+        import jax
+
+        from ocr_system_tpu.ops import ctc
+
+        eng = JaxOCREngine(settings)
+        dets = eng.det_stage([PageImage(form_image[:256, :256].copy(), 1)])
+        quads = [
+            np.array([[[30, 40], [200, 40], [200, 58], [30, 58]]], np.float32)
+        ]
+        rec = eng.recognizer
+        rec._profile_stash = stash = []
+        try:
+            rows = rec.recognize_on_device_stack(dets[0].canvas_stack, quads)
+        finally:
+            rec._profile_stash = None
+        assert len(stash) == 1
+        run, args = stash[0]
+        ids, conf, _ = run(*args)
+        jax.block_until_ready((ids, conf))
+        assert ctc.ids_to_text(ids, rec.charset)[0] == rows[0][0].text
+
+    def test_det_rec_breakdown_smoke(self, settings, form_image):
+        """det_rec_breakdown returns wall timings and (when the det finds
+        boxes) a device-timed rec figure plus compute-only throughput."""
+        from ocr_system_tpu.utils.profiler import det_rec_breakdown
+
+        eng = JaxOCREngine(settings)
+        out = det_rec_breakdown(eng, [PageImage(form_image, 1)])
+        assert out["wave_pages"] == 1
+        assert out["det_wall"] > 0 and out["rec_wall"] > 0
+        if "rec_device" in out:
+            assert out["rec_device"] > 0
+            assert out["compute_pages_per_s"] > 0
+
 
 @pytest.mark.slow
 class TestWire4:
