@@ -267,13 +267,24 @@ def main() -> None:
     _note(f"engine built in {eng.dt:.1f}s (checkpoints loaded)")
 
     def make_page(sz: int, seed: int = 0) -> np.ndarray:
-        """Synthetic 300-DPI-class form page with text-like bars."""
+        """Synthetic 300-DPI-class form page: WORD-like ink segments with
+        inter-word gaps (a solid full-width bar reads as a shirorekha to the
+        script router and sends the page down the Devanagari re-segmentation
+        path — unrepresentative of Latin serving and ~2x the host cost)."""
         rng = np.random.default_rng(seed)
         img = np.full((sz, sz, 3), 245, np.uint8)
         for y in range(40, sz - 40, 36):
-            w = int(rng.integers(sz // 4, sz - 80))
+            end = int(rng.integers(sz // 4, sz - 80))
             x = int(rng.integers(20, 60))
-            img[y: y + 14, x: x + w] = rng.integers(0, 60)
+            while x < end:  # a word: glyph-like strokes with letter gaps
+                for _ in range(int(rng.integers(3, 8))):
+                    w = int(rng.integers(3, 6))
+                    h = int(rng.integers(10, 15))
+                    img[y: y + h, x: min(x + w, end)] = rng.integers(0, 60)
+                    x += w + int(rng.integers(2, 4))
+                    if x >= end:
+                        break
+                x += int(rng.integers(10, 22))  # inter-word gap
         return img
 
     pages_small = [PageImage(pixels=make_page(small, seed=9), page_number=1)]

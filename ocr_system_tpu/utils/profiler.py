@@ -139,6 +139,21 @@ def det_rec_breakdown(engine, pages) -> dict:
             with timer.stage("rec_device"):
                 for run, args in stash:
                     jax.block_until_ready(run(*args))
+            try:
+                rflops = 0.0
+                for run, args in stash:
+                    rc = run.lower(*args).compile().cost_analysis()
+                    if isinstance(rc, list):
+                        rc = rc[0]
+                    rflops += float(rc.get("flops", 0.0))
+                rec_dev_s = timer.stages["rec_device"] / 1000.0
+                out["rec_wave_tflops"] = round(rflops / 1e12, 3)
+                if rflops and rec_dev_s > 0:
+                    out["rec_mfu"] = round(
+                        rflops / rec_dev_s / _peak_flops(), 4
+                    )
+            except Exception:
+                pass  # cost analysis is best-effort
         # compute-only throughput, tunnel discounted: device det forward +
         # device rec dispatches (falls back to rec wall — an upper bound on
         # device time — if no dispatch was stashed, e.g. a blank wave)
