@@ -22,9 +22,9 @@ from ocr_system_tpu.models.charsets import Charset, get_charset
 from ocr_system_tpu.models.recognizer import SVTRRecognizer
 from ocr_system_tpu.ops import ctc
 from ocr_system_tpu.ops.sampling import (
+    axis_aligned_mask,
     crop_boxes_separable,
     crop_quads,
-    quads_are_axis_aligned,
     quads_to_aabbs,
 )
 
@@ -245,8 +245,14 @@ class Recognizer:
         buckets = sorted(s.rec_width_buckets)
         n_pages = stack_dev.shape[0]
 
-        # bucket every (row, quad) by target width
-        per_bucket: dict[int, list[list[tuple[int, np.ndarray, float]]]] = {}
+        # bucket every (row, quad) by target width, split by per-quad
+        # axis-alignment: a single rotated quad must not drag the whole
+        # bucket group onto the general gather path (the separable AABB
+        # crop is ~10x faster on TPU — measured mcroprec 1.37 s vs
+        # maabbrec for the same 8-page word wave)
+        per_bucket: dict[
+            tuple[int, bool], list[list[tuple[int, np.ndarray, float]]]
+        ] = {}
         for k, quads in enumerate(row_quads):
             if row_targets[k] < 0 or len(quads) == 0:
                 continue
@@ -254,12 +260,15 @@ class Recognizer:
             heights_px = np.linalg.norm(quads[:, 3] - quads[:, 0], axis=1)
             aspect = widths_px / np.maximum(heights_px, 1e-3)
             target_w = np.clip(aspect * h_rec, 16, buckets[-1])
+            aa = axis_aligned_mask(quads)
             for q_i in range(len(quads)):
                 b = _first_ge(buckets, target_w[q_i])
-                group = per_bucket.setdefault(b, [[] for _ in row_quads])
+                group = per_bucket.setdefault(
+                    (b, bool(aa[q_i])), [[] for _ in row_quads]
+                )
                 group[k].append((q_i, quads[q_i], target_w[q_i]))
 
-        for bucket, groups in per_bucket.items():
+        for (bucket, axis_aligned), groups in per_bucket.items():
                 # aspect-preserving crops: extend each quad rightward so the
                 # (48, bucket) sample grid renders the text at its natural
                 # scale in the first w_valid columns (training pads, never
@@ -279,7 +288,7 @@ class Recognizer:
                         q[k, j] = _extend_quad(quad, bucket / wv)
                         w_valid[k, j] = wv
                 flat_quads = q.reshape(-1, 4, 2)
-                if quads_are_axis_aligned(flat_quads):
+                if axis_aligned:
                     aabbs = quads_to_aabbs(flat_quads).reshape(
                         n_pages, n_per_page, 4
                     )

@@ -176,20 +176,26 @@ def crop_boxes_separable(
     return jax.vmap(one)(boxes)
 
 
-def quads_are_axis_aligned(quads, tol_ratio: float = 0.15) -> bool:
-    """Host check: do all quads deviate from their AABBs by less than
-    tol_ratio of their height? (numpy, not jit)"""
+def axis_aligned_mask(quads, tol_ratio: float = 0.15):
+    """Host check: per-quad, does the quad deviate from its AABB by less
+    than tol_ratio of its height? -> (N,) bool (numpy, not jit)."""
     import numpy as np
 
     quads = np.asarray(quads)
     if len(quads) == 0:
-        return True
+        return np.zeros((0,), bool)
     heights = np.maximum(
         quads[:, :, 1].max(axis=1) - quads[:, :, 1].min(axis=1), 1.0
     )
     top_dev = np.abs(quads[:, 0, 1] - quads[:, 1, 1])
     side_dev = np.abs(quads[:, 0, 0] - quads[:, 3, 0])
-    return bool(np.all(np.maximum(top_dev, side_dev) <= tol_ratio * heights))
+    return np.maximum(top_dev, side_dev) <= tol_ratio * heights
+
+
+def quads_are_axis_aligned(quads, tol_ratio: float = 0.15) -> bool:
+    """Host check: do ALL quads deviate from their AABBs by less than
+    tol_ratio of their height? (numpy, not jit)"""
+    return bool(axis_aligned_mask(quads, tol_ratio).all())
 
 
 def quads_to_aabbs(quads):

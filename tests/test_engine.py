@@ -147,6 +147,35 @@ class TestJaxEngineE2E:
         jax.block_until_ready((ids, conf))
         assert ctc.ids_to_text(ids, rec.charset)[0] == rows[0][0].text
 
+    def test_mixed_alignment_splits_dispatch_paths(self, settings, form_image):
+        """A rotated quad must not drag axis-aligned crops off the fast
+        separable path: a mixed wave dispatches each subset down its own
+        path and decodes identically to path-pure waves."""
+        eng = JaxOCREngine(settings)
+        dets = eng.det_stage([PageImage(form_image[:256, :256].copy(), 1)])
+        aa = np.array(
+            [[[30, 40], [200, 40], [200, 58], [30, 58]],
+             [[30, 80], [150, 80], [150, 98], [30, 98]]], np.float32
+        )
+        rot = np.array(
+            [[[30, 120], [218, 128], [216, 146], [28, 138]]], np.float32
+        )
+        rec = eng.recognizer
+        rec._profile_stash = stash = []
+        try:
+            mixed = rec.recognize_on_device_stack(
+                dets[0].canvas_stack, [np.concatenate([aa, rot])]
+            )
+        finally:
+            rec._profile_stash = None
+        kinds = sorted(k[0] for k in rec._fn_cache)
+        assert len(stash) == 2 and kinds == ["maabbrec", "mcroprec"]
+        pure_aa = rec.recognize_on_device_stack(dets[0].canvas_stack, [aa])
+        pure_rot = rec.recognize_on_device_stack(dets[0].canvas_stack, [rot])
+        assert [r.text for r in mixed[0]] == [
+            r.text for r in pure_aa[0]
+        ] + [r.text for r in pure_rot[0]]
+
     def test_det_rec_breakdown_smoke(self, settings, form_image):
         """det_rec_breakdown returns wall timings and (when the det finds
         boxes) a device-timed rec figure plus compute-only throughput."""
