@@ -41,6 +41,12 @@ HEADLINE_MIN_RUN_X_HEIGHT = 1.55
 HEADLINE_TOP_BAND = 0.55  # search the top 55% of box rows
 HEADLINE_MIN_BELOW_SUPPORT = 0.06  # run columns with ink attached below
 PAGE_DEVA_FRACTION = 0.45  # boxes with headlines needed to call a page Hindi
+# absolute quorum: sparse Latin pages can have only 1-2 wide components
+# (letters are separate blobs; the rare wide ones are touching bold serif
+# caps whose top serifs bridge into a headline-scale run) — one such false
+# positive used to flip a whole page to Devanagari. Measured over 40 mixed
+# synthetic forms: Latin pages max 1 hit, Devanagari pages min 8.
+PAGE_DEVA_MIN_HITS = 3
 
 # re-segmentation produces LINE-level crops, not words: the recognizer
 # scores CER 0.08 on whole truth lines vs 0.38 on word splits (measured,
@@ -235,7 +241,8 @@ def page_script(
             max(int(cx0[ci]) - 1, 0): int(cx1[ci]) + 2,
         ]
         hits += has_headline(crop)
-    return "devanagari" if hits >= PAGE_DEVA_FRACTION * len(order) else "latin"
+    need = max(PAGE_DEVA_MIN_HITS, PAGE_DEVA_FRACTION * len(order))
+    return "devanagari" if hits >= need else "latin"
 
 
 def _rows_from_boxes(boxes: list[DetectedBox]) -> list[list[DetectedBox]]:

@@ -93,6 +93,38 @@ class TestScriptDetection:
         page = np.full((200, 200, 3), 255, np.uint8)
         assert page_script(page, np.zeros((0, 4, 2), np.float32)) == "latin"
 
+    def test_sparse_latin_page_one_fp_component_stays_latin(self, monkeypatch):
+        """Quorum regression: a sparse Latin page can expose only 1-2 wide
+        connected components (letters are separate blobs), and a pair of
+        touching bold glyphs whose tops bridge into a headline-scale run
+        with ink attached below passes the per-crop headline test. One
+        such component must not flip the page: PAGE_DEVA_MIN_HITS demands
+        an absolute quorum (a real Devanagari page measures >= 8 hits;
+        sparse Latin forms measured at most 1).
+
+        The page is pinned from the generator seed that actually misrouted
+        (FormGenerator(4242) doc 1, a Survey form: its only two wide
+        components are title glyph pairs, one of which votes devanagari)."""
+        import ocr_system_tpu.engine.script as S
+        from ocr_system_tpu.training import synth_forms as SF
+
+        gen = SF.FormGenerator(seed=4242)
+        gen.generate(960)  # doc 0
+        spec = gen.generate(960)  # doc 1: sparse Survey
+        page = (SF.render_spec(spec, augment=False).image * 255).astype(
+            np.uint8
+        )
+        h, w = page.shape[:2]
+        quads = np.array(
+            [[[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]]], np.float32
+        )
+        # the page must still exercise the false positive: under the old
+        # fraction-only rule (quorum 1) it flips to devanagari
+        monkeypatch.setattr(S, "PAGE_DEVA_MIN_HITS", 1)
+        assert page_script(page, quads) == "devanagari"
+        monkeypatch.undo()
+        assert page_script(page, quads) == "latin"
+
     def test_headline_crop_level(self, deva_font, latin_font):
         page, quads = render_text_page(["हस्ताक्षर विवरण"], deva_font)
         gray = np.asarray(Image.fromarray(page).convert("L"))
