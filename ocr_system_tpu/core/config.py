@@ -151,6 +151,13 @@ class Settings(BaseModel):
     # parity: ocr_service.py:213-246). Falls back to latin when no
     # devanagari checkpoint is configured.
     rec_charset: str = "auto"  # auto | latin | devanagari | multilingual
+    # Hindi forms are script-mixed at the BOX level (Devanagari keys,
+    # ASCII values: amounts, dates, phones, emails, 'signed'); the
+    # devanagari charset cannot represent ASCII letters, so under
+    # rec_charset=auto each crop on a Devanagari page routes individually
+    # (shirorekha test, engine/script.py crop_script): headline -> deva
+    # recognizer, else -> Latin recognizer.
+    deva_percrop_routing: bool = True
     # 1280 exists for over-wide form rows (dotted leaders squeeze 3.5x into
     # 640; CTC at stride 4 runs out of frames for 80-dot runs — the wide
     # bucket halves the squeeze and the w640 fine-tune covers the regime).

@@ -109,10 +109,18 @@ class JaxOCREngine:
                 )
         return self._script_recognizers["devanagari"]
 
-    def _route_and_normalize(self, pages, dets) -> list[Recognizer]:
+    def _route_and_normalize(self, pages, dets):
         """Per-page recognizer choice + Devanagari box re-segmentation.
         Routing activates under rec_charset=auto when a devanagari
-        recognizer is available; otherwise every page uses the primary."""
+        recognizer is available; otherwise every page uses the primary.
+
+        Returns, per page, either ONE Recognizer (every box) or a list of
+        Recognizers aligned with that page's boxes: Hindi forms are
+        script-mixed at the box level (Devanagari keys, ASCII values —
+        amounts, dates, emails, 'signed'), and the devanagari charset
+        cannot even represent ASCII letters, so ASCII crops on a Hindi
+        page route back to the primary Latin recognizer (Azure-parity:
+        reference ocr_service.py:213-246 reads both scripts per page)."""
         n = len(pages)
         if self.settings.rec_charset not in ("auto", "devanagari"):
             return [self.recognizer] * n
@@ -139,6 +147,17 @@ class JaxOCREngine:
                     pixels, d.boxes,
                     pad_ratio=self.settings.deva_reseg_pad_ratio,
                 )
+                if (deva is not self.recognizer
+                        and self.settings.deva_percrop_routing):
+                    gray = script_mod._to_gray(pixels)
+                    return [
+                        deva
+                        if script_mod.crop_script(
+                            script_mod._crop_aabb(gray, b.quad)
+                        ) == "devanagari"
+                        else self.recognizer
+                        for b in d.boxes
+                    ]
                 return deva
             return self.recognizer
 
@@ -331,29 +350,40 @@ class JaxOCREngine:
             )
 
     def _recognize(self, pages, dets, quads_list, recognizers=None):
-        """Dispatch recognition, grouped by the per-page recognizer the
-        script router chose (a wave is usually single-script: one dispatch;
-        mixed Latin+Hindi waves pay one dispatch per script present)."""
+        """Dispatch recognition, grouped by recognizer assignment (a wave
+        is usually single-script: one dispatch; mixed Latin+Hindi waves pay
+        one dispatch per script present). Assignment granularity is
+        per-PAGE (a Recognizer entry) or per-BOX (a list of Recognizers
+        aligned with that page's boxes — Hindi forms carry ASCII value
+        crops that route back to the Latin recognizer)."""
         if recognizers is None:
             recognizers = [self.recognizer] * len(pages)
-        groups: dict[int, tuple[Recognizer, list[int]]] = {}
-        for i, r in enumerate(recognizers):
-            groups.setdefault(id(r), (r, []))[1].append(i)
-        if len(groups) <= 1:
-            return self._recognize_with(
-                next(iter(groups.values()))[0] if groups else self.recognizer,
-                pages, dets, quads_list,
-            )
+        # normalize to per-box assignment
+        assign: list[list[Recognizer]] = [
+            r if isinstance(r, list) else [r] * len(q)
+            for r, q in zip(recognizers, quads_list)
+        ]
+        recs: dict[int, Recognizer] = {
+            id(r): r for row in assign for r in row
+        }
+        if len(recs) <= 1:
+            only = next(iter(recs.values())) if recs else self.recognizer
+            return self._recognize_with(only, pages, dets, quads_list)
         empty = np.zeros((0, 4, 2), np.float32)
-        out: list = [None] * len(pages)
-        for rec, idxs in groups.values():
-            keep = set(idxs)
+        out: list[list] = [[None] * len(q) for q in quads_list]
+        for rid, rec in recs.items():
+            sel_list = [
+                [j for j, rr in enumerate(row) if id(rr) == rid]
+                for row in assign
+            ]
             masked = [
-                q if i in keep else empty for i, q in enumerate(quads_list)
+                q[sel] if sel else empty
+                for q, sel in zip(quads_list, sel_list)
             ]
             sub = self._recognize_with(rec, pages, dets, masked)
-            for i in idxs:
-                out[i] = sub[i]
+            for i, sel in enumerate(sel_list):
+                for k, j in enumerate(sel):
+                    out[i][j] = sub[i][k]
         return out
 
     def _recognize_with(self, recognizer, pages, dets, quads_list):

@@ -161,6 +161,57 @@ def has_headline(crop: np.ndarray) -> bool:
     return False
 
 
+def crop_script(crop: np.ndarray) -> str:
+    """Classify ONE box crop from a Devanagari-routed page: "devanagari"
+    when any word-scale ink component carries a shirorekha, else "latin".
+
+    Hindi forms are script-mixed at the BOX level — keys are Devanagari but
+    values are mostly ASCII (amounts, dates, phones, emails, REF codes,
+    'signed'), and the devanagari charset/recognizer mangles ASCII-heavy
+    crops ('51,191.67 USD' decoded as '०1,डउ1.वगण०'). Azure reads both
+    scripts on one page with no configuration (reference
+    backend/services/ocr_service.py:213-246), so serving parity routes each
+    crop to the recognizer that can actually read it.
+
+    Measured on 118 resegmented det crops from rendered Hindi forms:
+    34/37 Devanagari crops expose a headline component, 0/61 ASCII crops
+    do (the 3 misses are small broken-conjunct words; per-component
+    top-bar fraction was tried as a second signal and rejected — ASCII
+    digits '2'/'5'/'7' carry full-width top bars too)."""
+    ink = _ink(crop)
+    if not ink.any():
+        return "latin"
+    from ocr_system_tpu.ops.boxes import _label_components
+
+    labels, n = _label_components(ink)
+    if n == 0:
+        return "latin"
+    ys, xs = np.nonzero(labels > 0)
+    ls = labels[ys, xs]
+    h, w = ink.shape
+    cx0 = np.full(n + 1, w, np.int64)
+    cy0 = np.full(n + 1, h, np.int64)
+    cx1 = np.zeros(n + 1, np.int64)
+    cy1 = np.zeros(n + 1, np.int64)
+    cnt = np.zeros(n + 1, np.int64)
+    np.minimum.at(cx0, ls, xs)
+    np.maximum.at(cx1, ls, xs)
+    np.minimum.at(cy0, ls, ys)
+    np.maximum.at(cy1, ls, ys)
+    np.add.at(cnt, ls, 1)
+    for ci in range(1, n + 1):
+        if (cnt[ci] >= 12
+                and cx1[ci] - cx0[ci] + 1 >= 12
+                and cy1[ci] - cy0[ci] + 1 >= 6):
+            sub = crop[
+                max(int(cy0[ci]) - 1, 0): int(cy1[ci]) + 2,
+                max(int(cx0[ci]) - 1, 0): int(cx1[ci]) + 2,
+            ]
+            if has_headline(sub):
+                return "devanagari"
+    return "latin"
+
+
 def page_script(
     page: np.ndarray, quads: np.ndarray, sample: int = 24
 ) -> str:

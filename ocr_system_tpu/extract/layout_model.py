@@ -174,6 +174,59 @@ def element_vote(
     return out
 
 
+def force_inline_split(
+    tag_ids: np.ndarray,
+    word_of: list[int],
+    tokens_text: str,
+    n_valid: int,
+) -> np.ndarray:
+    """Decode assist for boxes the model cannot read.
+
+    The committed checkpoint trains on Latin forms only (a 20k retrain
+    with Devanagari form content measured held-out Latin F1 0.806 vs 0.896
+    and was rejected), so Devanagari char embeddings are random and the
+    model tags a Hindi inline row like 'कुल: राखा' as one single-kind span
+    — the key swallows its value and pairing shifts down the page. The
+    training data labels inline rows as key-incl-colon + value
+    (synth_forms emit_span), so apply that same split structurally when
+    (a) the box is mostly Devanagari (outside the training distribution),
+    (b) it contains an inline colon with a key-shaped left side, and
+    (c) the model produced NO split (single-kind tags). A model that
+    learns Devanagari later will split these itself, making (c) false and
+    this a no-op."""
+    a = 0
+    while a < n_valid:
+        b = a
+        while b < n_valid and word_of[b] == word_of[a]:
+            b += 1
+        txt = tokens_text[a:b]
+        if ":" in txt:
+            p = a + txt.index(":")
+            left = txt[: p - a].strip()
+            right = txt[p - a + 1:].strip()
+            # gate on the KEY side: that's the part the model must read to
+            # place the split, and Hindi values are often pure ASCII
+            # ('तोनीह:2009-04-15' is < 40% deva overall but its key is 100%)
+            left_core = [c for c in left if c != " "]
+            deva = [c for c in left_core if "ऀ" <= c <= "ॿ"]
+            kinds = {int(t) for t in tag_ids[a:b]}
+            kinds.discard(_I_O)
+            single = (kinds <= {_I_BK, _I_IK}) or (kinds <= {_I_BV, _I_IV})
+            key_shaped = len(deva) >= 2 and len(deva) >= 0.5 * len(left_core)
+            if left and right and key_shaped and single:
+                tag_ids[a: p + 1] = _I_IK
+                tag_ids[a] = _I_BK
+                q = p + 1
+                while q < b and tokens_text[q] == " ":
+                    tag_ids[q] = _I_O
+                    q += 1
+                if q < b:
+                    tag_ids[q:b] = _I_IV
+                    tag_ids[q] = _I_BV
+        a = b
+    return tag_ids
+
+
 def decode_tags(
     tag_ids: np.ndarray,
     type_ids: np.ndarray,
@@ -441,6 +494,7 @@ class LayoutModelExtractor:
         tag_ids = element_vote(
             tag_logp, tag_ids, word_of, n_valid, tokens_text
         )
+        tag_ids = force_inline_split(tag_ids, word_of, tokens_text, n_valid)
 
         fields = decode_tags(tag_ids, type_ids, conf, tokens_text, boxes, n_valid)
 

@@ -960,10 +960,10 @@ def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = Tru
     d = ImageDraw.Draw(img)
     cache: dict[tuple[str, int], ImageFont.FreeTypeFont] = {}
 
-    def font_for(e: Element) -> ImageFont.FreeTypeFont:
-        # only fonts that can DRAW this element's text (a script-less font
-        # would render .notdef boxes and poison det training pixels)
-        need = {ord(c) for c in e.text if c != " "}
+    def font_for_text(text: str, e: Element) -> ImageFont.FreeTypeFont:
+        # only fonts that can DRAW this text (a script-less font would
+        # render .notdef boxes and poison det training pixels)
+        need = {ord(c) for c in text if c != " "}
         pool = [f for f in fonts if need <= font_codepoints(f)] or fonts
         bold = [f for f in pool if ("Bold" in f.name) == e.bold]
         pool = bold or pool
@@ -972,6 +972,62 @@ def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = Tru
         if key not in cache:
             cache[key] = ImageFont.truetype(str(path), e.font_size)
         return cache[key]
+
+    def script_runs(text: str) -> list[str]:
+        """Split into maximal single-script runs (Devanagari vs rest);
+        spaces/punct attach to the run in progress. A mixed-script inline
+        element ('ईमेल संख्या: CAD 96,810.69') has NO covering font — the
+        old whole-element fallback rendered the Devanagari half as .notdef
+        tofu, which poisoned det/extractor training pixels AND made those
+        eval pairs unrecoverable by any OCR. Real Hindi invoices switch
+        fonts at script boundaries; so does this renderer."""
+        runs: list[str] = []
+        cur: list[str] = []
+        cur_deva: bool | None = None
+        for ch in text:
+            deva = "ऀ" <= ch <= "ॿ"
+            neutral = not deva and not (ch.isascii() and ch.isalpha()
+                                        and ch != " ") and not ch.isdigit()
+            if cur_deva is None or deva == cur_deva or (neutral and cur):
+                cur.append(ch)
+                if not neutral:
+                    cur_deva = deva
+            else:
+                runs.append("".join(cur))
+                cur = [ch]
+                cur_deva = deva
+        if cur:
+            runs.append("".join(cur))
+        return runs
+
+    def draw_element(e: Element) -> tuple | None:
+        """Draw e.text, switching fonts at script boundaries when no single
+        font covers the whole element. Returns the union pixel bbox."""
+        need = {ord(c) for c in e.text if c != " "}
+        if any(need <= font_codepoints(f) for f in fonts):
+            f = font_for_text(e.text, e)
+            bbox = d.textbbox((e.x0, e.y0), e.text, font=f)
+            if bbox[2] >= size or bbox[3] >= size:
+                return None
+            d.text((e.x0, e.y0), e.text, fill=ink_fill, font=f)
+            return bbox
+        x = e.x0
+        bb = None
+        pieces = []
+        for run in script_runs(e.text):
+            f = font_for_text(run, e)
+            rb = d.textbbox((x, e.y0), run, font=f)
+            if rb[2] >= size or rb[3] >= size:
+                return None
+            pieces.append((x, run, f))
+            bb = rb if bb is None else (
+                min(bb[0], rb[0]), min(bb[1], rb[1]),
+                max(bb[2], rb[2]), max(bb[3], rb[3]),
+            )
+            x += d.textlength(run, font=f)
+        for px, run, f in pieces:
+            d.text((px, e.y0), run, fill=ink_fill, font=f)
+        return bb
 
     for x0, y0, x1, y1 in spec.table_lines:
         d.line([(x0, y0), (x1, y1)], fill=r.randint(60, 140), width=1)
@@ -984,11 +1040,10 @@ def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = Tru
             # handwriting detector finds it from pixels
             _draw_squiggle(d, e, r)
             continue
-        f = font_for(e)
-        bbox = d.textbbox((e.x0, e.y0), e.text, font=f)
-        if bbox[2] >= size or bbox[3] >= size:
+        ink_fill = r.randint(0, 70)
+        bbox = draw_element(e)
+        if bbox is None:
             continue
-        d.text((e.x0, e.y0), e.text, fill=r.randint(0, 70), font=f)
         e.x0, e.y0, e.x1, e.y1 = map(float, bbox)
         quads.append(
             np.array(

@@ -116,3 +116,83 @@ class TestInkExpand:
         _ink_snap(page, quad, expand_only=True)
         assert quad[:, 1].min() >= 22  # stopped at the rule
         assert quad[:, 1].max() <= 40
+
+class TestForceInlineSplit:
+    """Decode assist for model-unreadable (Devanagari) inline rows."""
+
+    def _run(self, text, tags):
+        from ocr_system_tpu.extract.layout_model import force_inline_split
+
+        word_of = [0] * len(text)
+        return force_inline_split(
+            np.array(tags, np.int32), word_of, text, len(text)
+        )
+
+    def test_deva_inline_single_kind_splits_at_colon(self):
+        text = "कुल: राखा "
+        out = self._run(text, [_I_IK] * len(text))
+        p = text.index(":")
+        assert out[0] == _I_BK and all(out[1: p + 1] == _I_IK)
+        q = p + 2  # skip separator space
+        assert out[q] == _I_BV and all(out[q + 1: len(text) - 1] == _I_IV)
+
+    def test_deva_key_ascii_value_splits(self):
+        # < 40% deva overall, but the key side is 100% deva — must split
+        text = "तोनीह:2009-04-15 "
+        out = self._run(text, [_I_IV] * len(text))
+        p = text.index(":")
+        assert out[0] == _I_BK and out[p] == _I_IK
+        assert out[p + 1] == _I_BV
+        assert all(out[p + 2: len(text) - 1] == _I_IV)
+
+    def test_latin_inline_untouched(self):
+        # the model reads Latin; its (even single-kind) tagging stands
+        text = "Total: 99 "
+        tags = [_I_IV] * len(text)
+        out = self._run(text, tags)
+        assert all(out == np.array(tags))
+
+    def test_model_split_box_untouched(self):
+        # mixed K/V tags = the model already split; assist must not fire
+        text = "कुल: राखा "
+        tags = [_I_BK, _I_IK, _I_IK, _I_IK, _I_O] + [_I_IV] * 5
+        out = self._run(text, tags)
+        assert all(out == np.array(tags, np.int32))
+
+    def test_digit_left_side_not_key_shaped(self):
+        # a Devanagari-page time-like value must not split ('12:30' family)
+        text = "12:30 "
+        out = self._run(text, [_I_IV] * len(text))
+        assert all(out == _I_IV)
+
+
+class TestCropScript:
+    def _render(self, text, font_path, size=22):
+        from PIL import Image, ImageDraw, ImageFont
+
+        f = ImageFont.truetype(font_path, size)
+        img = Image.new("L", (360, 60), 255)
+        d = ImageDraw.Draw(img)
+        d.text((8, 8), text, fill=0, font=f)
+        return np.asarray(img, np.uint8)
+
+    def test_ascii_value_crop_is_latin(self):
+        from ocr_system_tpu.engine.script import crop_script
+
+        crop = self._render(
+            "51,191.67 USD",
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        )
+        assert crop_script(crop) == "latin"
+
+    def test_deva_word_crop_is_devanagari(self):
+        from ocr_system_tpu.engine.script import crop_script
+        from ocr_system_tpu.training.devanagari_font import ensure_font
+
+        crop = self._render("ग्राहक रोपी", str(ensure_font()))
+        assert crop_script(crop) == "devanagari"
+
+    def test_blank_crop_defaults_latin(self):
+        from ocr_system_tpu.engine.script import crop_script
+
+        assert crop_script(np.full((40, 120), 255, np.uint8)) == "latin"

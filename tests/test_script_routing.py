@@ -311,8 +311,16 @@ class TestEngineRouting:
         ]
         recs = eng._route_and_normalize(pages, dets)
         assert recs[1] is eng.recognizer
-        assert recs[0] is not eng.recognizer
-        assert recs[0].charset.name == "devanagari"
+        # Hindi page: per-BOX assignment (ASCII value crops on a Hindi form
+        # route back to the Latin recognizer; these pure-Hindi lines all
+        # carry a shirorekha and stay on the devanagari recognizer)
+        assert isinstance(recs[0], list)
+        assert len(recs[0]) == len(dets[0].boxes)
+        deva_recs = [r for r in recs[0] if r is not eng.recognizer]
+        assert deva_recs and all(
+            r.charset.name == "devanagari" for r in deva_recs
+        )
+        assert len(deva_recs) >= 0.8 * len(recs[0])
         # the Hindi page's boxes were re-segmented (line-level chains)
         assert len(dets[0].boxes) >= len(hi_quads)
 
