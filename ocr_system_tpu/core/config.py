@@ -138,6 +138,14 @@ class Settings(BaseModel):
     # overlaps): fixes the under-sized DB response on large bold titles
     # without the tightening hazard above
     det_ink_expand: bool = True
+    # split det boxes that merged ACROSS form columns at interior empty
+    # runs >= 1.4x ink height (engine/script.py split_column_merged) — a
+    # bridged two-column row squeezes two fields into one crop and the
+    # extractor mis-pairs everything downstream. Dot-leader rows never
+    # split (the dots keep columns occupied). OFF by default until the
+    # e2e sweep proves it (round-3: measure before shipping box-geometry
+    # changes — the h//3 blanket pad regressed).
+    det_split_column_gaps: bool = False
     # margin for Devanagari re-segmented boxes (engine/script.py). These
     # boxes are INK-TIGHT (unlike DB's stride-2-quantized boxes, which
     # need det_box_pad_ratio=0.65 to recover clipped glyphs), so a small

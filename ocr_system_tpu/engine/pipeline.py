@@ -122,9 +122,17 @@ class JaxOCREngine:
         page route back to the primary Latin recognizer (Azure-parity:
         reference ocr_service.py:213-246 reads both scripts per page)."""
         n = len(pages)
-        if self.settings.rec_charset not in ("auto", "devanagari"):
-            return [self.recognizer] * n
         from ocr_system_tpu.engine import script as script_mod
+
+        def split_cols(p, d):
+            if self.settings.det_split_column_gaps:
+                pixels = d.page if d.page is not None else p.pixels
+                d.boxes = script_mod.split_column_merged(pixels, d.boxes)
+
+        if self.settings.rec_charset not in ("auto", "devanagari"):
+            for p, d in zip(pages, dets):
+                split_cols(p, d)
+            return [self.recognizer] * n
 
         deva = (
             self.recognizer
@@ -132,6 +140,8 @@ class JaxOCREngine:
             else self._devanagari_recognizer()
         )
         if deva is None:
+            for p, d in zip(pages, dets):
+                split_cols(p, d)
             return [self.recognizer] * n
         def route_one(p, d):
             pixels = d.page if d.page is not None else p.pixels
@@ -159,6 +169,7 @@ class JaxOCREngine:
                         for b in d.boxes
                     ]
                 return deva
+            split_cols(p, d)
             return self.recognizer
 
         if n <= 1:

@@ -296,6 +296,85 @@ def page_script(
     return "devanagari" if hits >= need else "latin"
 
 
+def split_column_merged(
+    page: np.ndarray,
+    boxes: list[DetectedBox],
+    gap_ratio: float = 1.4,
+) -> list[DetectedBox]:
+    """Split det boxes that merged ACROSS form columns (Latin pages).
+
+    Two-column forms put 'Margin Class Raka' and 'Pefade of Handler' a
+    column pitch apart; DBNet's stride-2 prob map sometimes bridges them
+    into one row-level box, the crop squeezes two fields into one line,
+    and the extractor pairs everything downstream of it wrong (measured:
+    the largest det-side contributor to the pipeline-extraction gap).
+
+    A box splits ONLY at interior empty-column runs >= gap_ratio x ink
+    height measured over the dominant ink row band (det boxes are padded
+    ~0.65h, so neighbor rows bleed into the AABB and would fill the gap).
+    Dot-leader rows ('Route Tala .... 5367 Oak') never split — the leader
+    dots keep every column occupied, which is exactly right: the
+    recognizer is TRAINED on whole leader rows (round-3 lesson: aspect-
+    driven crop splitting measured worse). Boundaries sit at gap centers
+    so each piece keeps its margin; y-extents stay untouched."""
+    if not boxes:
+        return boxes
+    gray = _to_gray(page)
+    ph, pw = gray.shape
+    out: list[DetectedBox] = []
+    for b in boxes:
+        crop = _crop_aabb(gray, b.quad)
+        ink = _ink(crop)
+        if not ink.any():
+            out.append(b)
+            continue
+        # dominant ink row band (same rationale as resegment_devanagari)
+        row_mass = ink.sum(axis=1)
+        bands = []
+        start = None
+        for ri, m in enumerate(row_mass):
+            if m > 0 and start is None:
+                start = ri
+            elif m == 0 and start is not None:
+                bands.append((start, ri))
+                start = None
+        if start is not None:
+            bands.append((start, len(row_mass)))
+        b0, b1 = max(bands, key=lambda t: row_mass[t[0]: t[1]].sum())
+        band = ink[b0:b1]
+        cols = band.any(axis=0)
+        xs = np.nonzero(cols)[0]
+        if len(xs) == 0:
+            out.append(b)
+            continue
+        ink_h = b1 - b0
+        min_gap = max(int(gap_ratio * ink_h), 10)
+        cuts: list[int] = []
+        prev_x = int(xs[0])
+        for x in xs[1:]:
+            if int(x) - prev_x - 1 >= min_gap:
+                cuts.append((prev_x + 1 + int(x)) // 2)  # gap center
+            prev_x = int(x)
+        if not cuts:
+            out.append(b)
+            continue
+        # crop-local -> page coords via the same clip _crop_aabb applied
+        x_org = float(np.clip(b.quad[:, 0].min(), 0, pw - 1))
+        y0q = float(b.quad[:, 1].min())
+        y1q = float(b.quad[:, 1].max())
+        edges = [float(b.quad[:, 0].min())] + [
+            x_org + c for c in cuts
+        ] + [float(b.quad[:, 0].max())]
+        for e0, e1 in zip(edges[:-1], edges[1:]):
+            if e1 - e0 < 6:
+                continue
+            quad = np.array(
+                [[e0, y0q], [e1, y0q], [e1, y1q], [e0, y1q]], np.float32
+            )
+            out.append(DetectedBox(quad=quad, score=b.score))
+    return out
+
+
 def _rows_from_boxes(boxes: list[DetectedBox]) -> list[list[DetectedBox]]:
     """Cluster boxes into text rows by y-center proximity (0.5x avg height,
     mirroring engine/reading_order.py)."""

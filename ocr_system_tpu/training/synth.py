@@ -172,18 +172,48 @@ class TextRenderer:
             elif r.random() < 0.15:
                 words = [w.upper() for w in words]
             return " ".join(words)
-        if kind < 0.65:  # numbers / amounts / dates
+        if kind < 0.65:  # numbers / amounts / dates / form-value formats
             fmt = r.random()
-            if fmt < 0.33:
+            if fmt < 0.25:
                 return f"{r.randint(0, 9999)}.{r.randint(0, 99):02d}"
-            if fmt < 0.55:
+            if fmt < 0.4:
                 return f"${r.randint(1, 99999):,}"
-            if fmt < 0.8:
+            if fmt < 0.55:
                 return (
                     f"{r.randint(1, 28):02d}/{r.randint(1, 12):02d}/"
                     f"{r.randint(1990, 2030)}"
                 )
-            return str(r.randint(10000, 999999999))
+            if fmt < 0.65:
+                return str(r.randint(10000, 999999999))
+            # form VALUE formats, drawn from the form generator's own
+            # distribution (synth_forms._VALUE_GEN) so recognition training
+            # covers what form pages actually contain. The gap was measured:
+            # space-separated digit groups ('+1 217 559 9837'), currency
+            # codes ('CAD 96,810.69'), month-name dates and dotted emails
+            # all lost their separators at serving ('+12175599837',
+            # 'CAD96,810.69', 'carlos rossi@mailorg') because no training
+            # line had ever shown an internal space inside a numeric value.
+            if not self._devanagari:
+                from ocr_system_tpu.training.synth_forms import _VALUE_GEN
+
+                ftype = r.choice(
+                    ("phone", "phone", "currency", "currency", "date",
+                     "email", "number", "name", "address")
+                )
+                return _VALUE_GEN[ftype](r)
+            # Devanagari charset: ASCII-digit/punct formats only (letters
+            # are not representable; ASCII-letter crops route to the Latin
+            # recognizer at serving — engine/script.py crop_script)
+            if r.random() < 0.5:
+                return r.choice((
+                    f"+1 {r.randint(200, 999)} {r.randint(100, 999)} "
+                    f"{r.randint(1000, 9999)}",
+                    f"({r.randint(200, 999)}) {r.randint(100, 999)}-"
+                    f"{r.randint(1000, 9999)}",
+                ))
+            return (
+                f"{r.randint(1, 99)},{r.randint(100, 999)}.{r.randint(0, 99):02d}"
+            )
         if kind < 0.8:  # key: value fragments
             return f"{r.choice(_WORDS).capitalize()}: {r.choice(_WORDS)}"
         if kind < 0.9 and not self._devanagari:

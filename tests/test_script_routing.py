@@ -348,3 +348,59 @@ class TestEngineRouting:
         ]
         recs = eng._route_and_normalize([PageImage(hi_page, 1)], dets)
         assert recs == [eng.recognizer]
+
+
+class TestSplitColumnMerged:
+    """Latin-page column-gap splitting of row-merged det boxes."""
+
+    def _page_with_box(self, texts, xs, y=40, font_size=18):
+        from ocr_system_tpu.engine.script import split_column_merged
+        from ocr_system_tpu.ops.boxes import DetectedBox
+
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", font_size
+        )
+        img = Image.new("RGB", (900, 120), "white")
+        d = ImageDraw.Draw(img)
+        x_end = 0
+        for t, x in zip(texts, xs):
+            d.text((x, y), t, fill="black", font=font)
+            x_end = max(x_end, d.textbbox((x, y), t, font=font)[2])
+        page = np.asarray(img, np.uint8)
+        quad = np.array(
+            [[xs[0] - 10, y - 10], [x_end + 10, y - 10],
+             [x_end + 10, y + 30], [xs[0] - 10, y + 30]], np.float32,
+        )
+        boxes = [DetectedBox(quad=quad, score=0.9)]
+        return page, split_column_merged(page, boxes)
+
+    def test_two_column_merge_splits(self):
+        page, out = self._page_with_box(
+            ["Margin Class Raka", "Pefade Handler"], [40, 420]
+        )
+        assert len(out) == 2
+        # pieces ordered left-to-right, boundary inside the big gap
+        assert out[0].quad[:, 0].max() < out[1].quad[:, 0].min() + 1
+
+    def test_normal_sentence_stays_whole(self):
+        _, out = self._page_with_box(["Name: John Smith together"], [40])
+        assert len(out) == 1
+
+    def test_leader_row_stays_whole(self):
+        # dots keep every column occupied: trained-regime crops must
+        # survive intact (aspect-driven splitting measured WORSE, round 3)
+        _, out = self._page_with_box(
+            ["Route Tala " + "." * 60 + " 5367 Oak Avenue"], [40]
+        )
+        assert len(out) == 1
+
+    def test_blank_box_passthrough(self):
+        from ocr_system_tpu.engine.script import split_column_merged
+        from ocr_system_tpu.ops.boxes import DetectedBox
+
+        page = np.full((100, 300, 3), 255, np.uint8)
+        quad = np.array(
+            [[10, 10], [200, 10], [200, 50], [10, 50]], np.float32
+        )
+        out = split_column_merged(page, [DetectedBox(quad=quad, score=0.5)])
+        assert len(out) == 1
