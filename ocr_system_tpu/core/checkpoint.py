@@ -73,6 +73,11 @@ def maybe_load(path: str, example_tree: Any | None = None) -> Any | None:
     thresh head); flax ignores extra parameters at apply time.
     """
     if not path:
+        # loud on purpose: an EMPTY checkpoint path silently served
+        # random weights in three different eval sweeps (det inside
+        # hybrid, then the layout extractor) and produced garbage
+        # numbers that looked like quality regressions
+        logger.warning("no checkpoint path set; using RANDOM init")
         return None
     p = Path(path)
     if not p.exists():

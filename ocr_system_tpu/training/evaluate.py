@@ -121,6 +121,27 @@ class E2EEvalResult:
     plain_page_cer: float = -1.0  # mean over plain-text pages (-1 if none)
 
 
+def _truth_charset(engine, charset):
+    """Charset used to normalize eval TRUTH text. Form pages can be Hindi
+    (FormGenerator deva_fraction) and a script-ROUTING engine decodes them
+    correctly — filtering the truth through the single eval charset turned
+    a correctly-read Hindi form into 3.5 pure-insertion page CER once.
+    Filter truth by what the ENGINE can emit: the latin∪devanagari union
+    when routing is active (rec_charset=auto + a devanagari checkpoint,
+    mirroring pipeline._devanagari_recognizer), else the eval charset."""
+    import os
+
+    from ocr_system_tpu.models.charsets import get_charset
+
+    st = getattr(engine, "settings", None)
+    if st is None or st.rec_charset != "auto":
+        return charset
+    deva_dir = st.rec_checkpoint_devanagari or os.path.join(
+        st.checkpoint_dir, "rec_devanagari"
+    )
+    return get_charset("multilingual") if os.path.isdir(deva_dir) else charset
+
+
 def evaluate_end_to_end(
     engine, charset, n_pages: int = 10, size: int = 800, seed: int = 5555,
     forms_fraction: float = 0.5,
@@ -145,6 +166,7 @@ def evaluate_end_to_end(
     # pure Devanagari) evaluates on script-matched text pages only
     if len(charset.encode("Invoice Number 42")) < 10:
         forms_fraction = 0.0
+    truth_charset = _truth_charset(engine, charset)
     page_cers = []
     kinds = []  # parallel to page_cers: True = form page
     matched = total_lines = 0
@@ -156,7 +178,9 @@ def evaluate_end_to_end(
         else:
             page = renderer.render_page(size=size, augment=False)
         out = engine.process_pages([PageImage((page.image * 255).astype(np.uint8), 1)])[0]
-        texts = [charset.decode(charset.encode(t)) for t in page.texts]
+        texts = [
+            truth_charset.decode(truth_charset.encode(t)) for t in page.texts
+        ]
         # truth ROWS, clustered exactly like the engine's reading order
         # (same-row elements merge left-to-right) — per-element truth would
         # punish the engine for legitimately joining "Date" with its value

@@ -21,9 +21,17 @@ enable_persistent_cache()
 
 
 def main() -> None:
+    def _default_ckpt(path: str) -> str:
+        # empty -> deterministic RANDOM init (core/checkpoint.init_or_load),
+        # which silently produced garbage e2e sweeps once; default to the
+        # committed checkpoints when they exist
+        return path if Path(path).is_dir() else ""
+
     p = argparse.ArgumentParser()
     p.add_argument("--rec-checkpoint", default="")
-    p.add_argument("--det-checkpoint", default="")
+    p.add_argument(
+        "--det-checkpoint", default=_default_ckpt("checkpoints/det")
+    )
     p.add_argument("--charset", default="latin")
     p.add_argument("--lines", type=int, default=100)
     p.add_argument("--docs", type=int, default=20)
@@ -53,6 +61,8 @@ def main() -> None:
     )
     p.add_argument("--extract-checkpoint", default="checkpoints/extract")
     args = p.parse_args()
+    if not args.rec_checkpoint:
+        args.rec_checkpoint = _default_ckpt(f"checkpoints/rec_{args.charset}")
 
     from ocr_system_tpu.core.config import Settings
     from ocr_system_tpu.engine.recognizer import Recognizer

@@ -37,3 +37,55 @@ def test_rule_extractor_f1_high_on_clean_text():
     # clean synthetic KV docs: the rule tier must score near-perfect F1
     result = evaluate_field_extraction(RuleExtractor(), n_docs=10)
     assert result.f1 > 0.95, (result.precision, result.recall)
+
+
+class TestTruthCharset:
+    """Eval truth must be normalized by what the ENGINE can emit: a
+    script-routing engine reads Hindi form pages correctly, so filtering
+    truth through the latin eval charset scored that correct output as
+    pure insertion (3.5 page CER on a well-read page)."""
+
+    class _Eng:
+        def __init__(self, **kw):
+            from ocr_system_tpu.core.config import Settings
+
+            self.settings = Settings(**kw)
+
+    def test_routing_engine_scores_against_union(self, tmp_path):
+        from ocr_system_tpu.training.evaluate import _truth_charset
+        from ocr_system_tpu.models.charsets import get_charset
+
+        latin = get_charset("latin")
+        deva_dir = tmp_path / "rec_devanagari"
+        deva_dir.mkdir()
+        eng = self._Eng(
+            rec_charset="auto", checkpoint_dir=str(tmp_path),
+            storage_root=str(tmp_path / "s"),
+        )
+        tc = _truth_charset(eng, latin)
+        assert tc.name == "multilingual"
+        # the union keeps Devanagari truth instead of deleting it
+        assert tc.decode(tc.encode("नाम: Smith")) == "नाम: Smith"
+
+    def test_no_deva_checkpoint_keeps_eval_charset(self, tmp_path):
+        from ocr_system_tpu.training.evaluate import _truth_charset
+        from ocr_system_tpu.models.charsets import get_charset
+
+        latin = get_charset("latin")
+        eng = self._Eng(
+            rec_charset="auto", checkpoint_dir=str(tmp_path / "none"),
+            storage_root=str(tmp_path / "s"),
+        )
+        assert _truth_charset(eng, latin) is latin
+
+    def test_pinned_charset_engine_keeps_eval_charset(self, tmp_path):
+        from ocr_system_tpu.training.evaluate import _truth_charset
+        from ocr_system_tpu.models.charsets import get_charset
+
+        latin = get_charset("latin")
+        (tmp_path / "rec_devanagari").mkdir()
+        eng = self._Eng(
+            rec_charset="latin", checkpoint_dir=str(tmp_path),
+            storage_root=str(tmp_path / "s"),
+        )
+        assert _truth_charset(eng, latin) is latin
