@@ -166,6 +166,15 @@ class Settings(BaseModel):
     # (shirorekha test, engine/script.py crop_script): headline -> deva
     # recognizer, else -> Latin recognizer.
     deva_percrop_routing: bool = True
+    # on script-MIXED pages, crops whose routed decode lands below this
+    # confidence are re-decoded by the page's other recognizer and the
+    # higher-confidence read wins (engine/pipeline._confidence_rescue).
+    # The headline router sees geometry, not glyphs: digits-only rows on
+    # Hindi pages are drawn in the Devanagari font face the Latin model
+    # never trained on. 0 disables. Calibration (CPU, deva eval pages):
+    # native-font reads land at conf ~1.00, cross-font misreads at
+    # 0.87-0.91 — 0.95 separates them cleanly.
+    script_rescue_conf: float = 0.95
     # 1280 exists for over-wide form rows (dotted leaders squeeze 3.5x into
     # 640; CTC at stride 4 runs out of frames for 80-dot runs — the wide
     # bucket halves the squeeze and the w640 fine-tune covers the regime).

@@ -156,6 +156,7 @@ class JaxOCREngine:
                 d.boxes = script_mod.resegment_devanagari(
                     pixels, d.boxes,
                     pad_ratio=self.settings.deva_reseg_pad_ratio,
+                    latin_pad_ratio=self.settings.det_box_pad_ratio,
                 )
                 if (deva is not self.recognizer
                         and self.settings.deva_percrop_routing):
@@ -395,7 +396,50 @@ class JaxOCREngine:
             for i, sel in enumerate(sel_list):
                 for k, j in enumerate(sel):
                     out[i][j] = sub[i][k]
+        self._confidence_rescue(pages, dets, quads_list, assign, recs, out)
         return out
+
+    def _confidence_rescue(
+        self, pages, dets, quads_list, assign, recs, out
+    ) -> None:
+        """Re-decode low-confidence crops on script-MIXED pages with the
+        page's other recognizer, keeping the higher-confidence read.
+
+        The shirorekha router sees geometry, not glyph provenance: a
+        digits-only row on a Hindi page has no headline so it routes to
+        the Latin recognizer — but Hindi pages draw digits in the
+        Devanagari font face, whose digit glyphs the Latin model never
+        trained on ('827964687' read as '?79%4%87' at conf ~0.4 while
+        the Devanagari model reads those glyphs natively). Symmetric and
+        self-limiting: only pages that already carry BOTH recognizers
+        are eligible, so pure-Latin waves pay nothing."""
+        thresh = self.settings.script_rescue_conf
+        if thresh <= 0 or len(recs) <= 1:
+            return
+        empty = np.zeros((0, 4, 2), np.float32)
+        for rid, rec in recs.items():
+            sel_list = []
+            for i, row in enumerate(assign):
+                present = {id(r) for r in row}
+                sel = [
+                    j for j, rr in enumerate(row)
+                    if id(rr) != rid and rid in present
+                    and out[i][j] is not None
+                    and out[i][j].confidence < thresh
+                ]
+                sel_list.append(sel)
+            if not any(sel_list):
+                continue
+            masked = [
+                q[sel] if sel else empty
+                for q, sel in zip(quads_list, sel_list)
+            ]
+            sub = self._recognize_with(rec, pages, dets, masked)
+            for i, sel in enumerate(sel_list):
+                for k, j in enumerate(sel):
+                    alt = sub[i][k]
+                    if alt is not None and alt.confidence > out[i][j].confidence:
+                        out[i][j] = alt
 
     def _recognize_with(self, recognizer, pages, dets, quads_list):
         """Route recognition through the det stage's device-resident canvases

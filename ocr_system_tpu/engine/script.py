@@ -438,6 +438,7 @@ def resegment_devanagari(
     boxes: list[DetectedBox],
     pad_ratio: float = 0.0,
     pad_ratio_y: float | None = None,
+    latin_pad_ratio: float | None = None,
 ) -> list[DetectedBox]:
     """Merge-then-normalize det boxes on a Devanagari page — into LINE
     segments, not words.
@@ -457,6 +458,19 @@ def resegment_devanagari(
        split),
     3. each segment gets tight dominant-band y-extents (det's padded boxes
        bleed into neighbor rows) plus the detector's configured margins.
+
+    Hindi pages are script-mixed at the ROW level too (ASCII amount/date/
+    phone lines between Devanagari rows — synth.py renders them because
+    real Hindi invoices have them). Resegmentation exists to repair det's
+    Devanagari failure modes; applied to an ASCII row it STRIPS the det
+    geometry the Latin recognizer is trained on (ink-tight crops at
+    pad 0.12 vs the det pad 0.65 regime: '$80,299' decoded ']8o,2?').
+    So when `latin_pad_ratio` is given:
+      - a row with no headline component (crop_script == latin) keeps its
+        original det boxes untouched,
+      - inside a resegmented (headline) row, each SEGMENT is classified
+        per crop_script and latin segments get `latin_pad_ratio` margins
+        (det-regime geometry) instead of the ink-tight Devanagari pads.
     """
     if not boxes:
         return boxes
@@ -471,6 +485,14 @@ def resegment_devanagari(
     out: list[DetectedBox] = []
     for row in _rows_from_boxes(boxes):
         row.sort(key=lambda b: float(b.quad[:, 0].min()))
+        if latin_pad_ratio is not None:
+            rx0 = int(np.clip(min(float(b.quad[:, 0].min()) for b in row), 0, pw - 1))
+            rx1 = int(np.clip(max(float(b.quad[:, 0].max()) for b in row) + 1, rx0 + 1, pw))
+            ry0 = int(np.clip(min(float(b.quad[:, 1].min()) for b in row), 0, ph - 1))
+            ry1 = int(np.clip(max(float(b.quad[:, 1].max()) for b in row) + 1, ry0 + 1, ph))
+            if crop_script(gray[ry0:ry1, rx0:rx1]) == "latin":
+                out.extend(row)
+                continue
         # merge chains
         chains: list[list[DetectedBox]] = [[row[0]]]
         for b in row[1:]:
@@ -545,12 +567,17 @@ def resegment_devanagari(
                 sy0 = y0 + int(seg_rows[0])
                 sy1 = y0 + int(seg_rows[-1]) + 1
                 h_box = float(sy1 - sy0)
-                pad_x = max(pad_ratio * h_box, 1.0)
-                pad_y = max(
-                    (pad_ratio if pad_ratio_y is None else pad_ratio_y)
-                    * h_box,
-                    1.0,
+                px_ratio, py_ratio = pad_ratio, (
+                    pad_ratio if pad_ratio_y is None else pad_ratio_y
                 )
+                if latin_pad_ratio is not None and crop_script(
+                    gray[sy0:sy1, x0 + sx0: x0 + sx1]
+                ) == "latin":
+                    # ASCII value segment inside a Devanagari row: restore
+                    # det-regime margins for the Latin recognizer
+                    px_ratio = py_ratio = latin_pad_ratio
+                pad_x = max(px_ratio * h_box, 1.0)
+                pad_y = max(py_ratio * h_box, 1.0)
                 qx0 = float(np.clip(x0 + sx0 - pad_x, 0, pw - 1))
                 qx1 = float(np.clip(x0 + sx1 + pad_x, qx0 + 1, pw - 1))
                 qy0 = float(np.clip(sy0 - pad_y, 0, ph - 1))

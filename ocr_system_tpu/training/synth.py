@@ -129,7 +129,8 @@ class TextRenderer:
     ):
         self.charset = charset
         self.rng = random.Random(seed)
-        self.font_paths = fonts_covering(charset, discover_fonts(font_dir))
+        self._all_fonts = discover_fonts(font_dir)
+        self.font_paths = fonts_covering(charset, self._all_fonts)
         # script-appropriate word pool (see _WORDS_HI)
         self._devanagari = any(
             0x0900 <= ord(c) <= 0x097F for c in charset.chars
@@ -148,18 +149,38 @@ class TextRenderer:
     ) -> ImageFont.FreeTypeFont:
         """Random font among those that can actually DRAW `text` — mixed
         pools (DejaVu + Devanagari asset font) must never render a line's
-        chars as .notdef boxes."""
+        chars as .notdef boxes.
+
+        Falls back to ALL discovered fonts when the charset pool can't
+        cover the text: Devanagari pages carry pure-ASCII lines (emails,
+        'Key: value' fragments — real Hindi invoices have them) and the
+        Devanagari asset font has no Latin letter glyphs; those lines
+        rendered as tofu blocks, poisoning det training AND making the
+        Hindi e2e eval unrecoverable by any OCR ('Email: amount' drew as
+        11 solid boxes + a colon)."""
         pool = self.font_paths
         if text:
             need = {ord(c) for c in text if c != " "}
             covering = [
                 p for p in pool
                 if len(need & font_codepoints(p)) == len(need)
+            ] or [
+                p for p in self._all_fonts
+                if len(need & font_codepoints(p)) == len(need)
             ]
             pool = covering or pool
         return self._font(self.rng.choice(pool), size)
 
-    def random_text(self, max_words: int = 4) -> str:
+    def random_text(
+        self, max_words: int = 4, charset_only: bool = False
+    ) -> str:
+        """charset_only=True restricts output to text the CHARSET can
+        encode — recognizer training/eval lines (a 'Email: amount' label
+        encoded with the devanagari charset collapses to ':' while the
+        pixels show the words: label poison). Page rendering (det
+        training, e2e eval) keeps the unrestricted mix: Hindi pages DO
+        carry ASCII lines, and serving routes those crops to the Latin
+        recognizer (engine/script.py crop_script)."""
         r = self.rng
         kind = r.random()
         if kind < 0.45:
@@ -177,7 +198,9 @@ class TextRenderer:
             if fmt < 0.25:
                 return f"{r.randint(0, 9999)}.{r.randint(0, 99):02d}"
             if fmt < 0.4:
-                return f"${r.randint(1, 99999):,}"
+                amt = f"{r.randint(1, 99999):,}"
+                # '$' is outside the devanagari charset
+                return amt if self._devanagari and charset_only else f"${amt}"
             if fmt < 0.55:
                 return (
                     f"{r.randint(1, 28):02d}/{r.randint(1, 12):02d}/"
@@ -205,8 +228,11 @@ class TextRenderer:
             # are not representable; ASCII-letter crops route to the Latin
             # recognizer at serving — engine/script.py crop_script)
             if r.random() < 0.5:
+                # '+' is outside the devanagari charset; keep the spaced
+                # digit groups (the separator regime is what matters)
+                plus = "" if charset_only else "+"
                 return r.choice((
-                    f"+1 {r.randint(200, 999)} {r.randint(100, 999)} "
+                    f"{plus}1 {r.randint(200, 999)} {r.randint(100, 999)} "
                     f"{r.randint(1000, 9999)}",
                     f"({r.randint(200, 999)}) {r.randint(100, 999)}-"
                     f"{r.randint(1000, 9999)}",
@@ -215,6 +241,8 @@ class TextRenderer:
                 f"{r.randint(1, 99)},{r.randint(100, 999)}.{r.randint(0, 99):02d}"
             )
         if kind < 0.8:  # key: value fragments
+            if self._devanagari and charset_only:
+                return f"{r.choice(_WORDS_HI)}: {r.choice(_WORDS_HI)}"
             return f"{r.choice(_WORDS).capitalize()}: {r.choice(_WORDS)}"
         if kind < 0.9 and not self._devanagari:
             # dotted-leader fragments ("Key ...... value" form rows): crops
@@ -249,7 +277,7 @@ class TextRenderer:
     ) -> LineSample:
         r = self.rng
         if text is None:
-            text = self.random_text()
+            text = self.random_text(charset_only=True)
         # 12px lower bound matters: form body text renders at 12-18px on
         # ~96-dpi-equivalent pages, so serving upsamples ~3-4x into the
         # 48px crop — training must cover that blur regime. font_range

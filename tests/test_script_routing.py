@@ -404,3 +404,132 @@ class TestSplitColumnMerged:
         )
         out = split_column_merged(page, [DetectedBox(quad=quad, score=0.5)])
         assert len(out) == 1
+
+
+class TestMixedScriptRows:
+    """Hindi pages carry pure-ASCII rows (amounts, emails, 'Key: value');
+    resegmentation must not strip their det geometry, and rendering must
+    not draw them as tofu."""
+
+    def test_latin_row_keeps_det_boxes(self, deva_font, latin_font):
+        img = Image.new("RGB", (640, 200), "white")
+        d = ImageDraw.Draw(img)
+        d.text((30, 30), "नाम राशि कुल", fill="black", font=deva_font)
+        d.text((30, 100), "Email: amount", fill="black", font=latin_font)
+        page = np.asarray(img, np.uint8)
+        deva_q = np.array(d.textbbox((30, 30), "नाम राशि कुल", font=deva_font))
+        lat_q = np.array(d.textbbox((30, 100), "Email: amount", font=latin_font))
+
+        def quad(b):
+            x0, y0, x1, y1 = b
+            return np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32
+            )
+
+        boxes = [
+            DetectedBox(quad=quad(deva_q), score=0.9),
+            DetectedBox(quad=quad(lat_q), score=0.9),
+        ]
+        out = resegment_devanagari(
+            page, boxes, pad_ratio=0.12, latin_pad_ratio=0.65
+        )
+        # the ASCII row's ORIGINAL box must survive untouched (det-regime
+        # geometry for the Latin recognizer), identified by exact quad
+        kept = [
+            b for b in out
+            if np.allclose(b.quad, boxes[1].quad)
+        ]
+        assert kept, [b.quad[:, 1] for b in out]
+
+    def test_deva_renderer_draws_ascii_without_tofu(self):
+        """'Email: amount' on a Devanagari page once rendered as .notdef
+        boxes (the deva asset font has no Latin letters): ink coverage of
+        solid tofu blocks is ~1.0 over the glyph bbox, real letters are
+        well under 0.5."""
+        from ocr_system_tpu.training.synth import TextRenderer
+
+        r = TextRenderer(get_charset("devanagari"), seed=1)
+        font = r._random_font(24, "Email: amount")
+        img = Image.new("L", (300, 40), 255)
+        d = ImageDraw.Draw(img)
+        d.text((5, 5), "Email", fill=0, font=font)
+        bbox = d.textbbox((5, 5), "Email", font=font)
+        arr = np.asarray(img, np.float32)[
+            bbox[1]: bbox[3], bbox[0]: bbox[2]
+        ]
+        ink_frac = float((arr < 128).mean())
+        assert ink_frac < 0.5, f"tofu-like ink coverage {ink_frac:.2f}"
+
+    def test_charset_only_text_is_encodable(self):
+        from ocr_system_tpu.training.synth import TextRenderer
+
+        cs = get_charset("devanagari")
+        r = TextRenderer(cs, seed=3)
+        for _ in range(300):
+            t = r.random_text(charset_only=True)
+            assert cs.decode(cs.encode(t)) == t, t
+
+
+class TestConfidenceRescue:
+    """Low-confidence crops on script-mixed pages re-decode with the
+    page's other recognizer; the higher-confidence read wins."""
+
+    class _FakeRec:
+        def __init__(self, text, conf):
+            self.text, self.conf = text, conf
+            self.calls = []
+
+        def recognize_pages(self, pages, quads_list):
+            from ocr_system_tpu.engine.recognizer import RecResult
+
+            self.calls.append([len(q) for q in quads_list])
+            return [
+                [RecResult(text=self.text, confidence=self.conf)
+                 for _ in range(len(q))]
+                for q in quads_list
+            ]
+
+    def _run(self, conf_a, conf_b, thresh):
+        from ocr_system_tpu.core.config import Settings
+        from ocr_system_tpu.engine.pipeline import JaxOCREngine
+
+        st = Settings(
+            ocr_engine="fake", script_rescue_conf=thresh,
+            storage_root="storage",
+        )
+        eng = JaxOCREngine.__new__(JaxOCREngine)
+        eng.settings = st
+        a = self._FakeRec("A", conf_a)
+        b = self._FakeRec("B", conf_b)
+        from ocr_system_tpu.engine.detector import DetResult
+
+        page = np.full((100, 200, 3), 255, np.uint8)
+        q = np.array(
+            [[[10, 10], [90, 10], [90, 30], [10, 30]],
+             [[10, 50], [90, 50], [90, 70], [10, 70]]], np.float32,
+        )
+        dets = [DetResult(boxes=[], skew_angle=0.0, page=page)]
+        out = eng._recognize(
+            [PageImageStub(page)], dets, [q], recognizers=[[a, b]]
+        )
+        return out[0], a, b
+
+    def test_low_confidence_swaps_to_better(self):
+        out, a, b = self._run(conf_a=0.5, conf_b=0.99, thresh=0.95)
+        # box 0 (A at 0.5) rescued by B at 0.99; box 1 (B) stays
+        assert [o.text for o in out] == ["B", "B"]
+
+    def test_confident_reads_stay(self):
+        out, a, b = self._run(conf_a=0.99, conf_b=0.99, thresh=0.95)
+        assert [o.text for o in out] == ["A", "B"]
+        # no rescue dispatches beyond the two group decodes
+        assert len(a.calls) + len(b.calls) == 2
+
+    def test_disabled_by_zero(self):
+        out, a, b = self._run(conf_a=0.1, conf_b=0.99, thresh=0.0)
+        assert [o.text for o in out] == ["A", "B"]
+
+
+class PageImageStub:
+    def __init__(self, pixels):
+        self.pixels = pixels
