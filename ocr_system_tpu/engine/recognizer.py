@@ -68,6 +68,15 @@ class Recognizer:
             )
         self.variables = params
         self._fn_cache: dict[tuple, object] = {}
+        # height bound for the Pallas AABB crop kernel's row slab; taller
+        # boxes route to the general quad path (None = no bound, gather path)
+        if (self.settings.use_pallas_kernels
+                and jax.default_backend() not in ("cpu", "gpu")):
+            from ocr_system_tpu.kernels.crop_pallas import MAX_BOX_H
+
+            self._aabb_max_h: float | None = float(MAX_BOX_H)
+        else:
+            self._aabb_max_h = None
         # when set (a list), every compiled rec dispatch appends
         # (compiled_fn, device_args) so a profiler can re-run the wave's
         # exact dispatches warm and measure rec DEVICE time (the wall time
@@ -111,20 +120,39 @@ class Recognizer:
 
     def _multi_aabb_rec_fn(self, page_hw: tuple[int, int], n_pages: int,
                            crops_per_page: int, width: int):
-        """Axis-aligned fast path: separable crop (ops/sampling.py
-        crop_boxes_separable) instead of the general quad gather."""
+        """Axis-aligned fast path. On TPU the crop stage is the
+        interpolation-MATMUL Pallas kernel (kernels/crop_pallas.py) — the
+        separable gather was the rec wave's wall (57 ms device vs 44 ms
+        for SVTR+decode on the 8x160-crop bench wave; the kernel does the
+        same crops in ~1 ms). jnp separable gather elsewhere."""
         key = ("maabbrec", page_hw, n_pages, crops_per_page, width)
         if key not in self._fn_cache:
             h = self.settings.rec_image_height
+            use_pallas = (
+                self.settings.use_pallas_kernels
+                and jax.default_backend() not in ("cpu", "gpu")
+            )
 
             @jax.jit
             def run(pages, aabbs, widths):
-                pages = pages.astype(jnp.float32) / 255.0
-                crops = jax.vmap(
-                    lambda page, bs: crop_boxes_separable(page, bs, (h, width))
-                )(pages, aabbs)
-                crops = crops.reshape(-1, h, width)[..., None]
-                crops = _mask_pad(crops, widths.reshape(-1))
+                if use_pallas:
+                    from ocr_system_tpu.kernels.crop_pallas import (
+                        crop_boxes_matmul,
+                    )
+
+                    # kernel folds /255 + _mask_pad into the crop matmuls
+                    crops = crop_boxes_matmul(
+                        pages, aabbs, widths, (h, width)
+                    )[..., None]
+                else:
+                    pg = pages.astype(jnp.float32) / 255.0
+                    crops = jax.vmap(
+                        lambda page, bs: crop_boxes_separable(
+                            page, bs, (h, width)
+                        )
+                    )(pg, aabbs)
+                    crops = crops.reshape(-1, h, width)[..., None]
+                    crops = _mask_pad(crops, widths.reshape(-1))
                 crops = jnp.broadcast_to(crops, (*crops.shape[:-1], 3))
                 logits, lengths = self.model.apply(
                     self.variables, crops, widths.reshape(-1), train=False
@@ -261,6 +289,11 @@ class Recognizer:
             aspect = widths_px / np.maximum(heights_px, 1e-3)
             target_w = np.clip(aspect * h_rec, 16, buckets[-1])
             aa = axis_aligned_mask(quads)
+            if self._aabb_max_h is not None:
+                # boxes taller than the Pallas crop kernel's row slab
+                # (kernels/crop_pallas.MAX_BOX_H) take the general quad
+                # path — full-page banners only
+                aa &= heights_px <= self._aabb_max_h
             for q_i in range(len(quads)):
                 b = _first_ge(buckets, target_w[q_i])
                 group = per_bucket.setdefault(
