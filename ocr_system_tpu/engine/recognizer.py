@@ -309,9 +309,17 @@ class Recognizer:
                 # zero-masked in the jitted fn)
                 # pad per-page crop counts to a shared static N (pow2 steps
                 # bound the compile cache like _pad_count does for batches)
+                # floor scales INVERSELY with bucket width: wide buckets
+                # exist for the occasional over-wide row (1-2 real crops
+                # per page), and a padding crop costs SVTR compute
+                # proportional to the bucket — a flat floor of 16 made the
+                # 640/1280 groups ~30% of wave device time for ~1% of the
+                # real crops
+                floor = getattr(s, "rec_pad_floor", 1)
+                floor = max(1, floor * min(s.rec_width_buckets) // bucket)
                 n_per_page = max(
                     _pad_count(max(len(g) for g in groups), s.rec_batch_size),
-                    getattr(s, "rec_pad_floor", 1),
+                    floor,
                 )
                 q = np.zeros((n_pages, n_per_page, 4, 2), np.float32)
                 w_valid = np.full((n_pages, n_per_page), 1, np.int32)
