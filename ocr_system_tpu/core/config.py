@@ -146,6 +146,15 @@ class Settings(BaseModel):
     # e2e sweep proves it (round-3: measure before shipping box-geometry
     # changes — the h//3 blanket pad regressed).
     det_split_column_gaps: bool = False
+    # shrink each axis-aligned rec quad's y-extent to its dominant ink
+    # row band (+0.15x band height margin) before cropping (engine/
+    # script.py tighten_y; ink-derived, tighten-only, guarded against
+    # two-row boxes). Motivated by rec-only leader CER 0.95% tight vs
+    # 33% at det-pad geometry — but MEASURED WORSE end-to-end (CPU
+    # sweep: forms 8.4->13.9, plain 7.3->12.0): the serving recognizer
+    # is de-facto calibrated to det-padded crops. Keep OFF; revisit
+    # only after a rec training cycle at tight serving geometry.
+    rec_tighten_y: bool = False
     # margin for Devanagari re-segmented boxes (engine/script.py). These
     # boxes are INK-TIGHT (unlike DB's stride-2-quantized boxes, which
     # need det_box_pad_ratio=0.65 to recover clipped glyphs), so a small

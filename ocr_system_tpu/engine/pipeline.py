@@ -339,6 +339,15 @@ class JaxOCREngine:
             np.array([b.quad for b in d.boxes], np.float32).reshape(-1, 4, 2)
             for d in dets
         ]
+        if self.settings.rec_tighten_y:
+            from ocr_system_tpu.engine import script as script_mod
+
+            quads_list = [
+                script_mod.tighten_y(
+                    d.page if d.page is not None else p.pixels, q
+                )
+                for p, d, q in zip(pages, dets, quads_list)
+            ]
         recs_list = self._recognize(pages, dets, quads_list, recognizers)
         if len(pages) <= 1:
             return [

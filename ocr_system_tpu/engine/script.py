@@ -296,6 +296,71 @@ def page_script(
     return "devanagari" if hits >= need else "latin"
 
 
+def tighten_y(
+    page: np.ndarray,
+    quads: np.ndarray,
+    margin: float = 0.15,
+    min_band_mass: float = 0.55,
+) -> np.ndarray:
+    """Shrink each AXIS-ALIGNED rec quad's y-extent to its dominant ink
+    row band + margin x band height. Tighten-only: never expands, never
+    moves x.
+
+    Det boxes carry det_box_pad_ratio (0.65h) margins on every side, so
+    rec crops render glyphs at ~43% of the 48px crop height instead of
+    the ~90% the recognizer trains at. Normal words survive the
+    mismatch; dot-LEADER rows do not — measured rec-only leader CER
+    0.95% at tight geometry vs 33% at det-pad geometry (half-height
+    dots become ~2px specks). Ink-derived tightening is safe where
+    box-derived tightening wasn't (the round-3 'ink-tightening snap'
+    rejection): the band is the glyph ink itself, so ascenders and
+    connected descenders stay inside it.
+
+    Safety guards: rotated quads pass through untouched; a box whose
+    dominant band holds < min_band_mass of its total ink passes through
+    (a genuinely two-row merged box must NOT collapse to one row)."""
+    from ocr_system_tpu.ops.sampling import axis_aligned_mask
+
+    if len(quads) == 0:
+        return quads
+    gray = _to_gray(page)
+    ph = gray.shape[0]
+    aa = axis_aligned_mask(quads)
+    out = quads.copy()
+    for i, q in enumerate(quads):
+        if not aa[i]:
+            continue
+        crop = _crop_aabb(gray, q)
+        ink = _ink(crop)
+        if not ink.any():
+            continue
+        row_mass = ink.sum(axis=1).astype(np.float64)
+        nz = np.nonzero(row_mass)[0]
+        if len(nz) == 0:
+            continue
+        # contiguous nonzero bands; dominant by mass
+        splits = np.nonzero(np.diff(nz) > 1)[0]
+        starts = np.concatenate([[0], splits + 1])
+        ends = np.concatenate([splits, [len(nz) - 1]])
+        bands = [(int(nz[s]), int(nz[e]) + 1) for s, e in zip(starts, ends)]
+        masses = [row_mass[b0:b1].sum() for b0, b1 in bands]
+        k = int(np.argmax(masses))
+        if masses[k] < min_band_mass * row_mass.sum():
+            continue
+        b0, b1 = bands[k]
+        band_h = b1 - b0
+        if band_h < 4:
+            continue
+        y_org = float(np.clip(q[:, 1].min(), 0, ph - 1))
+        y_top = max(y_org + b0 - margin * band_h, float(q[:, 1].min()))
+        y_bot = min(y_org + b1 + margin * band_h, float(q[:, 1].max()))
+        if y_bot - y_top < 4:
+            continue
+        out[i][[0, 1], 1] = y_top
+        out[i][[2, 3], 1] = y_bot
+    return out
+
+
 def split_column_merged(
     page: np.ndarray,
     boxes: list[DetectedBox],

@@ -286,19 +286,30 @@ class TextRenderer:
         font_size = r.randint(*font_range) if augment else 30
         font = self._random_font(font_size, text)
         pad = r.randint(2, 8) if augment else 4
+        # det-geometry margins: serving crops are DET boxes padded
+        # det_box_pad_ratio (0.65) x height on every side, so glyphs fill
+        # ~43% of the 48px crop, not ~90% like the tight render below.
+        # Normal words survived the mismatch; dot-leader rows did not —
+        # measured rec-only leader CER 0.95% on tight crops vs 33% at
+        # det-pad geometry (half-height glyphs shrink the dots to ~2px).
+        # A third of training lines carry serving-like margins.
+        det_margin = 0.0
+        if augment and r.random() < 0.35:
+            det_margin = r.uniform(0.3, 0.8)
         # measure
         tmp = Image.new("L", (4, 4))
         d = ImageDraw.Draw(tmp)
         bbox = d.textbbox((0, 0), text, font=font)
         tw = max(bbox[2] - bbox[0], 1)
         th = max(bbox[3] - bbox[1], 1)
-        w = tw + 2 * pad
-        h = th + 2 * pad
+        pad_m = pad + int(det_margin * th)
+        w = tw + 2 * pad_m
+        h = th + 2 * pad_m
         bg = r.randint(200, 255) if augment else 255
         fg = r.randint(0, 80) if augment else 0
         img = Image.new("L", (w, h), bg)
         d = ImageDraw.Draw(img)
-        d.text((pad - bbox[0], pad - bbox[1]), text, fill=fg, font=font)
+        d.text((pad_m - bbox[0], pad_m - bbox[1]), text, fill=fg, font=font)
         # scale to target height
         scale = height / h
         new_w = min(max(int(w * scale), 8), max_width)

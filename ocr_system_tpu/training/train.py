@@ -143,8 +143,19 @@ def rec_batch_iterator(
     rng = np.random.default_rng(seed)
 
     def render_one():
-        sample = renderer.render_line(max_width=width, font_range=font_range)
-        enc = charset.encode(sample.text)[:max_label_len] or [1]
+        for _ in range(8):
+            sample = renderer.render_line(
+                max_width=width, font_range=font_range
+            )
+            enc = charset.encode(sample.text)[:max_label_len] or [1]
+            # CTC feasibility: the alignment needs one frame per label plus
+            # one blank between each repeated pair; an infeasible line
+            # (long dot-leader squeezed + det-margin shrink) makes
+            # optax.ctc_loss blow up to ~100 and injects gradient noise
+            # (observed as intermittent 30-125 loss spikes) — resample
+            repeats = sum(a == b for a, b in zip(enc, enc[1:]))
+            if len(enc) + repeats <= sample.width // 4:
+                break
         labels = np.zeros((max_label_len,), np.int32)
         labels[: len(enc)] = enc
         return (

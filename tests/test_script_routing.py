@@ -533,3 +533,51 @@ class TestConfidenceRescue:
 class PageImageStub:
     def __init__(self, pixels):
         self.pixels = pixels
+
+
+class TestTightenY:
+    def _page_with_row(self, pad_ratio=0.65):
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 20
+        )
+        img = Image.new("RGB", (400, 120), "white")
+        d = ImageDraw.Draw(img)
+        d.text((30, 50), "Total 123", fill="black", font=font)
+        bbox = d.textbbox((30, 50), "Total 123", font=font)
+        page = np.asarray(img, np.uint8)
+        x0, y0, x1, y1 = bbox
+        h = y1 - y0
+        p = pad_ratio * h
+        quad = np.array(
+            [[[x0 - p, y0 - p], [x1 + p, y0 - p],
+              [x1 + p, y1 + p], [x0 - p, y1 + p]]], np.float32,
+        )
+        return page, quad, (y0, y1)
+
+    def test_shrinks_padded_quad_to_ink_band(self):
+        from ocr_system_tpu.engine.script import tighten_y
+
+        page, quad, (y0, y1) = self._page_with_row()
+        out = tighten_y(page, quad)
+        ny0, ny1 = out[0][:, 1].min(), out[0][:, 1].max()
+        # tightened into the ink band (+ margin), strictly inside the pad
+        assert ny0 > quad[0][:, 1].min() and ny1 < quad[0][:, 1].max()
+        assert ny0 <= y0 + 4 and ny1 >= y1 - 4  # never clips the glyphs
+
+    def test_two_row_box_left_alone(self):
+        from ocr_system_tpu.engine.script import tighten_y
+
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 20
+        )
+        img = Image.new("RGB", (400, 120), "white")
+        d = ImageDraw.Draw(img)
+        d.text((30, 20), "Row one text", fill="black", font=font)
+        d.text((30, 70), "Row two text", fill="black", font=font)
+        page = np.asarray(img, np.uint8)
+        quad = np.array(
+            [[[20, 10], [380, 10], [380, 110], [20, 110]]], np.float32
+        )
+        out = tighten_y(page, quad)
+        # dominant band holds ~half the mass — guard must pass through
+        np.testing.assert_array_equal(out, quad)
