@@ -98,7 +98,11 @@ def _is_clean_text(
         or unicodedata.category(c) in ("Mn", "Mc")
         for c in t
     )
-    if alnum / len(t) < 0.7:
+    # short decodes: one soup char in 4-5 chars is strong evidence
+    # ('\\/W,' hits alnum 0.75 and used to pass) — real short print
+    # ('Date', '12/31', 'A-1') is all-friendly. Long strings keep the
+    # 0.7 ratio so one stray glyph can't flip a sentence.
+    if alnum / len(t) < (1.0 if len(t) <= 5 else 0.7):
         return False
     if box_w and box_h and box_h > 0:
         expected = box_w / (0.6 * box_h)
@@ -251,6 +255,9 @@ def handwriting_to_fields(
                 "field_type": "signature",
                 "confidence": hand_boxes[best]["confidence"],
                 "page_number": wb.get("page_number", 1),
+                # explicit signature keyword: strong enough to OVERRIDE an
+                # extractor pair for the same key downstream
+                "keyword_label": True,
             }
         )
     # second pass: a pixel-verified squiggle with NO keyword label still
@@ -271,6 +278,18 @@ def handwriting_to_fields(
         for wb in words:
             if hb.get("page_number") != wb.get("page_number"):
                 continue
+            # a run that already carries an inline value ('तोनीह: 2009-04-15',
+            # 'lenu mark: carlos olsen') is a COMPLETE field, not a label
+            # awaiting a signature — pairing the squiggle to it both fabricates
+            # a field and orphans the true label (measured on forms_e2e)
+            txt = wb["content"].strip()
+            cp = txt.find(":")
+            if 0 <= cp < len(txt) - 1 and txt[cp + 1:].strip():
+                continue
+            # (measured, rejected: also skipping labels with any printed
+            # same-row right neighbor — multi-word labels get skipped and
+            # the pairing falls through to VALUE words, 35/8 -> 35/10
+            # exact/spurious on the forms_e2e diagnostic)
             wx = wb["polygon"][0::2]
             wy = wb["polygon"][1::2]
             w_x1 = max(wx)
@@ -300,6 +319,9 @@ def handwriting_to_fields(
                 "field_type": "signature",
                 "confidence": round(hb["confidence"] * 0.8, 4),
                 "page_number": best_wb.get("page_number", 1),
+                # nearest-label guess: fills a missing field downstream but
+                # must NOT override an extractor pair for the same key
+                "keyword_label": False,
             }
         )
     return fields

@@ -242,12 +242,13 @@ class JaxOCREngine:
             mark_boxes += hand_boxes
             if hand_boxes:
                 # a det box over a handwriting region decodes to symbol
-                # soup ('\\W^M') — keep the word box in layout_data but
-                # drop it from the TEXT (markdown/lines): the region is
-                # handwriting, not text
-                def in_hand(block) -> bool:
-                    cx = float(block.quad[:, 0].mean())
-                    cy = float(block.quad[:, 1].mean())
+                # soup ('\\W^M') — the handwriting box is the authoritative
+                # artifact for the region, so drop the garbage word from the
+                # TEXT (markdown/lines) AND from layout_data: downstream the
+                # extractor would otherwise pair the label with the soup
+                # (field value '\\/W,') and handwriting_to_fields can even
+                # pick the soup word as the nearest label.
+                def in_hand(cx: float, cy: float) -> bool:
                     for hb in hand_boxes:
                         hx = hb["polygon"][0::2]
                         hy = hb["polygon"][1::2]
@@ -256,7 +257,18 @@ class JaxOCREngine:
                             return True
                     return False
 
-                blocks = [b for b in blocks if not in_hand(b)]
+                blocks = [
+                    b for b in blocks
+                    if not in_hand(float(b.quad[:, 0].mean()),
+                                   float(b.quad[:, 1].mean()))
+                ]
+                word_boxes = [
+                    w for w in word_boxes
+                    if not in_hand(
+                        sum(w["polygon"][0::2]) / 4.0,
+                        sum(w["polygon"][1::2]) / 4.0,
+                    )
+                ]
         lines = reading_order.order_blocks(blocks)
         line_boxes = [
             {

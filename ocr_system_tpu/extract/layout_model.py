@@ -297,6 +297,30 @@ def decode_tags(
                     continue
         merged.append((kind, a, b))
 
+    # span-level inline split: force_inline_split works per WORD BOX, but a
+    # det row-merge can deliver 'जेखा:' 'बुमे' 'ताजे' as separate boxes that
+    # all pool to KEY and geometric-merge into one key span — the span then
+    # swallows its own value and steals the NEXT field's value in the greedy
+    # assignment (measured: the dominant deva-slice forms_e2e loss). Same
+    # deva gate as force_inline_split: the trained model is authoritative on
+    # Latin, so only out-of-distribution keys are split structurally.
+    split_spans: list[tuple[str, int, int]] = []
+    for kind, a, b in merged:
+        txt = tokens_text[a:b]
+        p = txt.find(":")
+        if kind == "key" and 0 < p < len(txt) - 1 and txt[p + 1:].strip():
+            left_core = [c for c in txt[:p] if c != " "]
+            deva = [c for c in left_core if "ऀ" <= c <= "ॿ"]
+            if len(deva) >= 2 and len(deva) >= 0.5 * max(len(left_core), 1):
+                q = a + p + 1
+                while q < b and tokens_text[q] == " ":
+                    q += 1
+                split_spans.append(("key", a, a + p + 1))
+                split_spans.append(("value", q, b))
+                continue
+        split_spans.append((kind, a, b))
+    merged = split_spans
+
     spans: list[tuple[str, str, float, str, np.ndarray]] = []
     for kind, i, j in merged:
         text = tokens_text[i:j].strip()

@@ -261,6 +261,14 @@ class ExtractionOrchestrator:
                 if b.get("type") == "handwriting"
             ]
             if hand:
+                # a KEYWORD-labeled squiggle ('Signature:' + pen stroke)
+                # OVERRIDES the extractor's pair for the same label:
+                # squiggle-region words are suppressed before extraction
+                # (engine/pipeline._finish_page), so an extractor value under
+                # a signature label is misassigned neighboring text. A
+                # nearest-label guess (keyword_label=False) only fills a
+                # missing field — overriding on a guessed label measurably
+                # destroyed true fields on Devanagari forms.
                 existing = {
                     f.field_key.lower() for f in state.extract_result.fields
                     if f.field_value.strip()
@@ -268,7 +276,8 @@ class ExtractionOrchestrator:
                 for sf in handwriting_to_fields(
                     hand, ocr.combined_layout_boxes
                 ):
-                    if sf["field_key"].lower() in existing:
+                    if (not sf.get("keyword_label")
+                            and sf["field_key"].lower() in existing):
                         continue
                     state.extract_result.fields = [
                         f for f in state.extract_result.fields

@@ -384,9 +384,14 @@ def evaluate_form_extraction_e2e(
             b for b in out.layout_boxes if b.get("type") == "handwriting"
         ]
         for sf in handwriting_to_fields(hand, out.layout_boxes):
-            got.setdefault(
-                _norm_key(sf["field_key"]), _norm_val(sf["field_value"])
-            )
+            # mirrors the orchestrator's merge: a keyword-labeled squiggle
+            # overrides a misassigned extractor value; a nearest-label guess
+            # only fills a missing key
+            k = _norm_key(sf["field_key"])
+            if sf.get("keyword_label"):
+                got[k] = _norm_val(sf["field_value"])
+            else:
+                got.setdefault(k, _norm_val(sf["field_value"]))
         truth = {
             _norm_key(k): _norm_val(v) for k, v, _ in spec.pairs if v.strip()
         }

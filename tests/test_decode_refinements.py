@@ -196,3 +196,38 @@ class TestCropScript:
         from ocr_system_tpu.engine.script import crop_script
 
         assert crop_script(np.full((40, 120), 255, np.uint8)) == "latin"
+
+
+class TestSpanLevelInlineSplit:
+    """decode_tags span-level deva colon split: a det row-merge can deliver
+    'जेखा:' 'बुमे' 'ताजे' as separate word boxes that all pool to KEY and
+    geometric-merge into one key span — the span must split at the inline
+    colon instead of swallowing its value and stealing the next field's."""
+
+    def _decode(self, text, tags):
+        from ocr_system_tpu.extract.layout_model import decode_tags
+
+        n = len(text)
+        types = np.zeros(n, np.int64)
+        conf = np.full(n, 0.9)
+        # contiguous boxes along one row, ~10px per char
+        boxes = np.array(
+            [[10 + 10 * i, 10, 20 + 10 * i, 24] for i in range(n)],
+            np.float32,
+        )
+        return decode_tags(np.array(tags), types, conf, text, boxes, n)
+
+    def test_deva_all_key_span_splits_at_colon(self):
+        text = "जेखा: बुमे ताजे"
+        tags = [1] + [2] * (len(text) - 1)  # one merged KEY span
+        fields = self._decode(text, tags)
+        got = {f.field_key: f.field_value for f in fields}
+        assert got == {"जेखा": "बुमे ताजे"}
+
+    def test_latin_all_key_span_does_not_split(self):
+        # the trained model is authoritative on Latin — a Latin key span
+        # containing a colon stays one span (deva gate)
+        text = "Name: Anna"
+        tags = [1] + [2] * (len(text) - 1)
+        fields = self._decode(text, tags)
+        assert all(f.field_key != "Name" for f in fields)

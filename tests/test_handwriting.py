@@ -187,3 +187,54 @@ class TestEvalIntegration:
             RuleExtractor(), n_docs=12, noise_rate=0.0
         )
         assert res.f1 > 0.3  # sanity: the merge didn't break the eval
+
+
+class TestLabelFallbackSkipsCompleteFields:
+    def test_inline_value_run_is_not_a_label(self):
+        """The nearest-label fallback must skip a word run that already
+        carries an inline value ('Date: 2009-04-15' is a COMPLETE field):
+        pairing the squiggle to it fabricates a field and orphans the true
+        label farther away."""
+        hand = [{
+            "type": "handwriting", "content": "", "confidence": 0.8,
+            "polygon": [200.0, 100.0, 400.0, 100.0,
+                        400.0, 140.0, 200.0, 140.0],
+            "page_number": 1,
+        }]
+        words = [
+            {  # nearer, but a complete inline field
+                "type": "word", "content": "Date: 2009-04-15",
+                "confidence": 0.9,
+                "polygon": [60.0, 105.0, 190.0, 105.0,
+                            190.0, 130.0, 60.0, 130.0],
+                "page_number": 1,
+            },
+            {  # farther, the true label
+                "type": "word", "content": "Approver",
+                "confidence": 0.9,
+                "polygon": [20.0, 60.0, 100.0, 60.0,
+                            100.0, 85.0, 20.0, 85.0],
+                "page_number": 1,
+            },
+        ]
+        fields = handwriting_to_fields(hand, words)
+        assert len(fields) == 1
+        assert fields[0]["field_key"] == "Approver"
+
+    def test_trailing_colon_run_still_labels(self):
+        """A 'Key:' run (no inline value) is a label awaiting content."""
+        hand = [{
+            "type": "handwriting", "content": "", "confidence": 0.8,
+            "polygon": [200.0, 100.0, 400.0, 100.0,
+                        400.0, 140.0, 200.0, 140.0],
+            "page_number": 1,
+        }]
+        words = [{
+            "type": "word", "content": "Margin class:", "confidence": 0.9,
+            "polygon": [60.0, 105.0, 190.0, 105.0,
+                        190.0, 130.0, 60.0, 130.0],
+            "page_number": 1,
+        }]
+        fields = handwriting_to_fields(hand, words)
+        assert len(fields) == 1
+        assert fields[0]["field_key"] == "Margin class"
