@@ -8,22 +8,31 @@ The measured path is the real serving pipeline (PageScheduler -> detector ->
 box extraction -> recognizer -> reading order + tables) with the trained
 checkpoints — what /api/documents/upload pays per page minus file codec I/O.
 
-Survivability design (rounds 1+2 both failed to land a driver-visible
-number because the axon tunnel browned out mid-window; round-3 reproduction
-showed even `jax.devices()` can hang for minutes):
+Survivability design (rounds 1-3 all failed to land a driver-visible number
+because the axon tunnel browned out mid-window; the r03 post-mortem showed
+the link dead for the first 304 s of a 420 s budget, then a single 88 s warm
+timeout ate the rest with NOTHING banked):
 
   - EVERY device-touching call runs in a daemon thread bounded by a timeout;
     the main thread never blocks on the tunnel.
-  - A tiny link probe (a 128x128 sum, KB-scale) gates each escalation step;
-    on timeout the bench drops back to probing and retries across the WHOLE
-    deadline window — brown-outs are episodic, one healthy ~30 s window is
-    enough to land a real small-page figure.
-  - Payloads escalate only after success: 1 page at the small bucket ->
-    1 page at BENCH_SIZE -> an 8-page wave -> a 16-page wave -> all pages.
-  - `_record` keeps the BEST measurement (never overwritten by a later,
-    brown-out-degraded one), and the emitted JSON always carries
-    `link_state` ("healthy" | "flaky" | "dead") plus a probe/phase timeline
-    so a 0.0 is never ambiguous again.
+  - RECORD-ON-COMPLETE: each measurement thread records its own figure the
+    moment it finishes — a step that "timed out" but completes just before
+    the watchdog fires still banks its number.
+  - WARM RUNS COUNT: the first (compile/executable-load-laden) run of each
+    tier is recorded too, tagged "-cold". A terrible-but-nonzero figure beats
+    three rounds of 0.0; `_record` keeps the best so a clean later run owns
+    the headline.
+  - Engine build launches CONCURRENTLY with link probing (the build's
+    checkpoint restore just blocks in its thread until the tunnel recovers).
+  - The warm tax itself is ~10x smaller since detector/recognizer pass model
+    weights as jit ARGUMENTS (executables are code-only; weights no longer
+    repaid as remote executable load per process — see detector._forward).
+  - The ladder is short: small page -> 8-page wave -> chunked main run. The
+    single-page 960 tier and the 16-page wave are gone (shapes serving never
+    uses; each cost a fresh executable load mid-bench).
+  - The main run is chunked (16 pages per scheduler call) and records the
+    CUMULATIVE throughput after every chunk, so a brown-out mid-main keeps
+    everything banked so far.
   - Persistent XLA compilation cache: any prior run on this machine warms
     the det/rec executables, so the driver's run skips remote compiles.
 
@@ -115,9 +124,13 @@ def _watchdog(deadline_s: float) -> None:
 class Bounded:
     """Run fn in a daemon thread; wait with a timeout, but allow waiting
     MORE later (the thread keeps running — a hung tunnel call may still
-    complete when the link recovers, and jax calls are not cancellable)."""
+    complete when the link recovers, and jax calls are not cancellable).
 
-    def __init__(self, label: str, fn):
+    When `record` is set to (n_pages, at, full_size), the THREAD records
+    n/dt on successful completion — even if the waiter already timed out
+    and moved on. This is what banks a late finish at watchdog time."""
+
+    def __init__(self, label: str, fn, record: tuple | None = None):
         self.label = label
         self.result = None
         self.exc: BaseException | None = None
@@ -132,6 +145,9 @@ class Bounded:
                 self.exc = e
             self.t_end = time.perf_counter()
             self.done.set()
+            if record is not None and self.exc is None:
+                n, at, full_size = record
+                _record(n / self.dt, at, full_size)
 
         threading.Thread(target=run, daemon=True, name=label).start()
 
@@ -163,6 +179,28 @@ def _link_probe(jnp, timeout: float) -> bool:
         return True
     _note(f"link probe {st} ({'' if st == 'timeout' else b.exc})")
     return False
+
+
+def make_page(sz: int, seed: int = 0) -> np.ndarray:
+    """Synthetic 300-DPI-class form page: WORD-like ink segments with
+    inter-word gaps (a solid full-width bar reads as a shirorekha to the
+    script router and sends the page down the Devanagari re-segmentation
+    path — unrepresentative of Latin serving and ~2x the host cost)."""
+    rng = np.random.default_rng(seed)
+    img = np.full((sz, sz, 3), 245, np.uint8)
+    for y in range(40, sz - 40, 36):
+        end = int(rng.integers(sz // 4, sz - 80))
+        x = int(rng.integers(20, 60))
+        while x < end:  # a word: glyph-like strokes with letter gaps
+            for _ in range(int(rng.integers(3, 8))):
+                w = int(rng.integers(3, 6))
+                h = int(rng.integers(10, 15))
+                img[y: y + h, x: min(x + w, end)] = rng.integers(0, 60)
+                x += w + int(rng.integers(2, 4))
+                if x >= end:
+                    break
+            x += int(rng.integers(10, 22))  # inter-word gap
+    return img
 
 
 def main() -> None:
@@ -211,22 +249,10 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    # ---- phase 1: first link probe loop ----
-    while not _link_probe(jnp, 20.0):
-        with _lock:
-            _best["link_state"] = "dead"
-        if _deadline_left(deadline) < 40.0:
-            with _lock:
-                _best["error"] = (
-                    "link probes never succeeded — tunnel dead for the "
-                    "entire bench window"
-                )
-            _emit_and_exit(0)
-        time.sleep(5.0)
-    with _lock:
-        _best["link_state"] = "healthy"
-
-    # ---- build engine (host-side + checkpoint device_put), bounded ----
+    # ---- build engine CONCURRENTLY with link probing: the build is mostly
+    # host work + a weights-sized checkpoint restore that simply blocks in
+    # its thread until the tunnel carries it (r03 spent 304 s probing with
+    # the build not even started) ----
     from ocr_system_tpu.core.config import Settings
     from ocr_system_tpu.engine.pipeline import JaxOCREngine
     from ocr_system_tpu.engine.preprocess import PageImage
@@ -234,7 +260,7 @@ def main() -> None:
 
     size = int(os.environ.get("BENCH_SIZE", "960"))
     small = int(os.environ.get("BENCH_SMALL_SIZE", "384"))
-    wave = int(os.environ.get("BENCH_WAVE", "16"))
+    wave = int(os.environ.get("BENCH_WAVE", "8"))
     n_pages = int(os.environ.get("BENCH_PAGES", "64"))
 
     ckpt = lambda p: p if os.path.isdir(p) else ""
@@ -254,38 +280,34 @@ def main() -> None:
         storage_root="storage",
     )
     eng = Bounded("engine", lambda: JaxOCREngine(settings))
-    st = eng.wait(120.0)
-    if st != "ok":
-        _phase("engine", st, eng.dt)
-        with _lock:
-            _best["link_state"] = "flaky"
-            _best["error"] = f"engine build {st}: {eng.exc}"
-        _emit_and_exit(0)
+    while True:
+        st = eng.wait(20.0)
+        if st == "ok":
+            break
+        if st == "error":
+            _phase("engine", "error", eng.dt)
+            with _lock:
+                _best["link_state"] = "flaky"
+                _best["error"] = f"engine build error: {eng.exc}"
+            _emit_and_exit(0)
+        # still pending: tunnel. Probe for the record, keep waiting — the
+        # build thread completes on its own once the link recovers.
+        _link_probe(jnp, 10.0)
+        if _deadline_left(deadline) < 25.0:
+            _phase("engine", "timeout", eng.dt)
+            with _lock:
+                _best["link_state"] = "dead"
+                _best["error"] = (
+                    "engine build (checkpoint restore) never completed — "
+                    "tunnel dead for the entire bench window"
+                )
+            _emit_and_exit(0)
     engine = eng.result
     scheduler = PageScheduler(engine, settings)
     _phase("engine", "ok", eng.dt)
     _note(f"engine built in {eng.dt:.1f}s (checkpoints loaded)")
-
-    def make_page(sz: int, seed: int = 0) -> np.ndarray:
-        """Synthetic 300-DPI-class form page: WORD-like ink segments with
-        inter-word gaps (a solid full-width bar reads as a shirorekha to the
-        script router and sends the page down the Devanagari re-segmentation
-        path — unrepresentative of Latin serving and ~2x the host cost)."""
-        rng = np.random.default_rng(seed)
-        img = np.full((sz, sz, 3), 245, np.uint8)
-        for y in range(40, sz - 40, 36):
-            end = int(rng.integers(sz // 4, sz - 80))
-            x = int(rng.integers(20, 60))
-            while x < end:  # a word: glyph-like strokes with letter gaps
-                for _ in range(int(rng.integers(3, 8))):
-                    w = int(rng.integers(3, 6))
-                    h = int(rng.integers(10, 15))
-                    img[y: y + h, x: min(x + w, end)] = rng.integers(0, 60)
-                    x += w + int(rng.integers(2, 4))
-                    if x >= end:
-                        break
-                x += int(rng.integers(10, 22))  # inter-word gap
-        return img
+    with _lock:
+        _best["link_state"] = "healthy"
 
     pages_small = [PageImage(pixels=make_page(small, seed=9), page_number=1)]
     pages = [
@@ -295,20 +317,21 @@ def main() -> None:
 
     # ---- escalation ladder: each step bounded; on timeout drop back to
     # probing until the link recovers, then retry the SAME step ----
-    def run_step(name, fn, n, at, timeout, measure=True, warm=False,
-                 full_size=True):
-        """Returns True if the step landed; False if deadline forces stop."""
+    def run_step(name, fn, n, at, timeout, cold=False, full_size=True):
+        """Returns True if the step landed; False if deadline forces stop.
+        EVERY successful run records a figure (cold runs carry a '-cold'
+        tag and include compile/executable-load time — still a real, if
+        pessimistic, pages/s)."""
+        label = f"{at}-cold" if cold else at
         while True:
-            if _deadline_left(deadline) < 25.0:
+            if _deadline_left(deadline) < 20.0:
                 return False
-            b = Bounded(name, fn)
-            st = b.wait(min(timeout, max(_deadline_left(deadline) - 20, 5)))
+            b = Bounded(name, fn, record=(n / n_chips, label, full_size))
+            st = b.wait(min(timeout, max(_deadline_left(deadline) - 12, 5)))
             if st == "ok":
                 _phase(name, "ok", b.dt)
-                if measure and not warm:
-                    _record(n / b.dt / n_chips, at, full_size)
                 _note(f"{name}: {n} page(s) in {b.dt:.2f}s"
-                      + ("" if warm else f" -> {n / b.dt / n_chips:.2f} p/s/chip"))
+                      f" -> {n / b.dt / n_chips:.2f} p/s/chip")
                 with _lock:
                     _best["link_state"] = (
                         "healthy" if _best["link_state"] == "healthy"
@@ -322,58 +345,61 @@ def main() -> None:
                 _note(f"{name} ERROR: {b.exc}")
                 return True  # move on; structural failure, not a link issue
             # timeout: tunnel likely browned out mid-step; probe until it
-            # returns, then retry this step (its compile may now be cached)
+            # returns, then retry this step (its compile may now be cached;
+            # the timed-out thread still records if it completes late)
             _phase(name, "timeout", b.dt)
             with _lock:
                 _best["link_state"] = "flaky"
             _note(f"{name} timed out after {b.dt:.0f}s; reprobing link")
-            while not _link_probe(jnp, 20.0):
-                if _deadline_left(deadline) < 40.0:
+            while not _link_probe(jnp, 15.0):
+                if _deadline_left(deadline) < 30.0:
                     return False
-                time.sleep(5.0)
+                time.sleep(4.0)
 
     # small-bucket single page: ~70 KB wire at 4-bit — lands even at
-    # 0.1 MB/s. Run twice: first pays compile, second measures.
+    # 0.1 MB/s. The cold run records too (nonzero beats three rounds of 0.0).
     if not run_step("small-warm", lambda: engine.process_pages(pages_small),
-                    1, f"1x{small}px", 150.0, warm=True):
+                    1, f"1x{small}px", 110.0, cold=True, full_size=False):
         _emit_and_exit(0)
     run_step("small-probe", lambda: engine.process_pages(pages_small),
-             1, f"1x{small}px", 60.0, full_size=False)
+             1, f"1x{small}px", 45.0, full_size=False)
 
-    # full-size single page
-    if not run_step("page-warm", lambda: engine.process_pages(pages[:1]),
-                    1, f"1x{size}px", 180.0, warm=True):
-        _emit_and_exit(0)
-    run_step("page-probe", lambda: engine.process_pages(pages[:1]),
-             1, f"1x{size}px", 90.0)
+    # 8-page wave through the serving scheduler (no single-960 tier: its
+    # (960,1) det + rec count shapes are executables serving never uses)
+    run_step("wave-warm", lambda: scheduler.process(pages[:wave]),
+             wave, f"{wave}x{size}px", 150.0, cold=True)
+    run_step("wave", lambda: scheduler.process(pages[:wave]),
+             wave, f"{wave}x{size}px", 90.0)
 
-    # 8-page wave through the serving scheduler
-    run_step("wave8-warm", lambda: scheduler.process(pages[:8]),
-             8, f"8x{size}px", 180.0, warm=True)
-    run_step("wave8", lambda: scheduler.process(pages[:8]),
-             8, f"8x{size}px", 120.0)
+    # main measurement: all pages, CHUNKED so a brown-out mid-run keeps the
+    # cumulative figure banked. Chunks of 2 waves keep the scheduler's
+    # det/rec pipelining within each call; the chunk boundary bubble is one
+    # det stage per 2 waves.
+    chunk = 2 * wave
+    t_main = time.perf_counter()
+    done = 0
+    for start in range(0, n_pages, chunk):
+        if _deadline_left(deadline) < 25.0:
+            break
+        part = pages[start : start + chunk]
 
-    # full wave
-    if wave != 8:
-        run_step(f"wave{wave}", lambda: scheduler.process(pages[:wave]),
-                 wave, f"{wave}x{size}px", 150.0)
+        def run_chunk(part=part):
+            out = scheduler.process(part)
+            return sum(o.success for o in out)
 
-    # main measurement: all pages through the serving scheduler
-    def main_run():
-        out = scheduler.process(pages)
-        return sum(o.success for o in out)
-
-    if _deadline_left(deadline) > 90.0:
-        b = Bounded("main", main_run)
-        st = b.wait(max(_deadline_left(deadline) - 30.0, 10.0))
-        if st == "ok":
-            _phase("main", "ok", b.dt)
-            _record(b.result / b.dt / n_chips, f"{n_pages}x{size}px", True)
-            _note(f"main: {b.result}/{n_pages} pages in {b.dt:.2f}s "
-                  f"-> {_best['value']} pages/s/chip")
-        else:
-            _phase("main", st, b.dt)
-            _note(f"main {st}")
+        b = Bounded(f"main[{start}]", run_chunk)
+        st = b.wait(max(min(90.0, _deadline_left(deadline) - 12), 5))
+        if st != "ok":
+            _phase(f"main[{start}]", st, b.dt)
+            _note(f"main chunk at page {start}: {st}")
+            break
+        done += b.result
+        el = time.perf_counter() - t_main
+        _record(done / el / n_chips, f"{done}x{size}px", True)
+        _note(f"main: {done}/{n_pages} pages in {el:.2f}s cumulative "
+              f"-> {done / el / n_chips:.2f} p/s/chip")
+    if done:
+        _phase("main", "ok", time.perf_counter() - t_main)
 
     # stage breakdown + device-time/MFU accounting (perf narrative)
     if _deadline_left(deadline) > 60.0:

@@ -101,8 +101,11 @@ class Recognizer:
         if key not in self._fn_cache:
             h = self.settings.rec_image_height
 
+            # variables as jit args, not closure constants: baked-in weights
+            # made each rec executable ~25 MB, repaid as remote executable
+            # load on every process start (see detector._forward note)
             @jax.jit
-            def run(pages, quads, widths):
+            def run(pages, quads, widths, variables):
                 pages = pages.astype(jnp.float32) / 255.0
                 crops = jax.vmap(
                     lambda page, qs: crop_quads(page, qs, (h, width))
@@ -111,7 +114,7 @@ class Recognizer:
                 crops = _mask_pad(crops, widths.reshape(-1))
                 crops = jnp.broadcast_to(crops, (*crops.shape[:-1], 3))
                 logits, lengths = self.model.apply(
-                    self.variables, crops, widths.reshape(-1), train=False
+                    variables, crops, widths.reshape(-1), train=False
                 )
                 return ctc.ctc_greedy_decode(logits, lengths)
 
@@ -134,7 +137,7 @@ class Recognizer:
             )
 
             @jax.jit
-            def run(pages, aabbs, widths):
+            def run(pages, aabbs, widths, variables):
                 if use_pallas:
                     from ocr_system_tpu.kernels.crop_pallas import (
                         crop_boxes_matmul,
@@ -155,7 +158,7 @@ class Recognizer:
                     crops = _mask_pad(crops, widths.reshape(-1))
                 crops = jnp.broadcast_to(crops, (*crops.shape[:-1], 3))
                 logits, lengths = self.model.apply(
-                    self.variables, crops, widths.reshape(-1), train=False
+                    variables, crops, widths.reshape(-1), train=False
                 )
                 return ctc.ctc_greedy_decode(logits, lengths)
 
@@ -336,12 +339,14 @@ class Recognizer:
                     run = self._multi_aabb_rec_fn(
                         shape, n_pages, n_per_page, bucket
                     )
-                    args = (stack_dev, jnp.asarray(aabbs), jnp.asarray(w_valid))
+                    args = (stack_dev, jnp.asarray(aabbs),
+                            jnp.asarray(w_valid), self.variables)
                 else:
                     run = self._multi_crop_rec_fn(
                         shape, n_pages, n_per_page, bucket
                     )
-                    args = (stack_dev, jnp.asarray(q), jnp.asarray(w_valid))
+                    args = (stack_dev, jnp.asarray(q),
+                            jnp.asarray(w_valid), self.variables)
                 ids, conf, _ = run(*args)
                 if self._profile_stash is not None:
                     self._profile_stash.append((run, args))

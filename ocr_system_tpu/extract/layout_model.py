@@ -437,11 +437,16 @@ class LayoutModelExtractor:
     def _forward(self):
         if self._fwd is None:
 
+            # variables as jit args (not closure constants): keeps the
+            # executable code-only so process start doesn't repay a
+            # weights-sized executable load (see engine/detector._forward)
             @jax.jit
-            def fwd(ids, boxes, mask):
-                return self.model.apply(self.variables, ids, boxes, mask, train=False)
+            def fwd(ids, boxes, mask, variables):
+                return self.model.apply(variables, ids, boxes, mask, train=False)
 
-            self._fwd = fwd
+            self._fwd = lambda ids, boxes, mask: fwd(
+                ids, boxes, mask, self.variables
+            )
         return self._fwd
 
     def extract_from_layout(

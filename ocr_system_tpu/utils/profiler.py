@@ -116,7 +116,7 @@ def det_rec_breakdown(engine, pages) -> dict:
         wire = det._pack_wire(canv)
         x = jax.device_put(wire)
         jax.block_until_ready(x)
-        prob, angles, _ = fwd(x)  # warm (already compiled)
+        prob, angles, _ = fwd(x, det.variables)  # warm (already compiled)
         jax.block_until_ready((prob, angles))
         # amortize the remote-dispatch sync: R back-to-back launches, ONE
         # final block — a single launch+block over the tunnel carries a
@@ -124,12 +124,12 @@ def det_rec_breakdown(engine, pages) -> dict:
         _REPS = 6
         with timer.stage("det_device_total"):
             for _ in range(_REPS):
-                prob, angles, _ = fwd(x)
+                prob, angles, _ = fwd(x, det.variables)
             jax.block_until_ready((prob, angles))
         timer.stages["det_device"] = (
             timer.stages["det_device_total"] / _REPS
         )
-        cost = fwd.lower(x).compile().cost_analysis()
+        cost = fwd.lower(x, det.variables).compile().cost_analysis()
         if isinstance(cost, list):  # older jax returns one dict per device
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))

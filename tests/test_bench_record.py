@@ -42,6 +42,39 @@ class TestRecord:
         b._record(2.0, "b", True)
         assert len(b._best["measurements"]) == 2
 
+    def test_bounded_records_on_late_completion(self):
+        """Simulated brown-out: the waiter times out and moves on, but the
+        step completes later (link recovered) and must still bank its
+        figure — the r03 failure mode (small-warm 'timed out' at t=400 with
+        nothing recorded)."""
+        import time
+
+        b = fresh_bench()
+        step = b.Bounded("slow", lambda: time.sleep(0.3) or 1,
+                         record=(4, "8x960px", True))
+        assert step.wait(0.05) == "timeout"          # waiter gives up
+        assert b._best["value"] == 0.0               # nothing banked yet
+        assert step.done.wait(2.0)                   # ...link 'recovers'
+        time.sleep(0.05)                             # record runs post-set
+        assert b._best["value"] > 0.0                # late finish banked
+        assert b._best["value_at"] == "8x960px"
+
+    def test_bounded_no_record_on_error(self):
+        def boom():
+            raise RuntimeError("poison page")
+
+        b = fresh_bench()
+        step = b.Bounded("err", boom, record=(4, "8x960px", True))
+        assert step.wait(2.0) == "error"
+        assert b._best["value"] == 0.0
+        assert not b._best["measurements"]
+
+    def test_make_page_renders_words(self):
+        b = fresh_bench()
+        img = b.make_page(384, seed=3)
+        assert img.shape == (384, 384, 3)
+        assert (img < 100).sum() > 500  # carries ink
+
     def test_emitted_json_fields(self):
         b = fresh_bench()
         b._record(3.0, "8x960px", True)
