@@ -92,9 +92,13 @@ def _is_clean_text(
     # gate predates the rule-artifact fine-tune that un-souped squiggles.
     if len(t) < 3 or confidence < 0.78:
         return False
+    # friendly set includes common form punctuation — '(Rev)', '#12',
+    # 'Q&A', "O'Brien" are real short print, and the 100% requirement for
+    # len<=5 strings would otherwise veto them (ADVICE r3: vetoed words
+    # near a stroke-shaped component vanish from markdown entirely)
     alnum = sum(
         c.isalnum()
-        or c in " .,:/-$%"
+        or c in " .,:/-$%()#&'\""
         or unicodedata.category(c) in ("Mn", "Mc")
         for c in t
     )

@@ -304,21 +304,49 @@ def decode_tags(
     # assignment (measured: the dominant deva-slice forms_e2e loss). Same
     # deva gate as force_inline_split: the trained model is authoritative on
     # Latin, so only out-of-distribution keys are split structurally.
+    def _deva_key_colon(txt: str, start: int, colon: int) -> bool:
+        core = [c for c in txt[start:colon] if c != " "]
+        deva = [c for c in core if "ऀ" <= c <= "ॿ"]
+        return len(deva) >= 2 and len(deva) >= 0.5 * max(len(core), 1)
+
     split_spans: list[tuple[str, int, int]] = []
     for kind, a, b in merged:
         txt = tokens_text[a:b]
         p = txt.find(":")
-        if kind == "key" and 0 < p < len(txt) - 1 and txt[p + 1:].strip():
-            left_core = [c for c in txt[:p] if c != " "]
-            deva = [c for c in left_core if "ऀ" <= c <= "ॿ"]
-            if len(deva) >= 2 and len(deva) >= 0.5 * max(len(left_core), 1):
-                q = a + p + 1
-                while q < b and tokens_text[q] == " ":
-                    q += 1
-                split_spans.append(("key", a, a + p + 1))
-                split_spans.append(("value", q, b))
-                continue
-        split_spans.append((kind, a, b))
+        if not (kind == "key" and 0 < p < len(txt) - 1
+                and txt[p + 1:].strip() and _deva_key_colon(txt, 0, p)):
+            split_spans.append((kind, a, b))
+            continue
+        # LOOPED split (ADVICE r3): a det row-merge can pool SEVERAL inline
+        # fields ('क: 1 ख: 2') into one key span; splitting only at the
+        # first colon leaves the second field's key inside the first value.
+        # After each key:value cut, scan the remainder for another
+        # deva-majority token ending in ':' — that token starts the next key.
+        while True:
+            split_spans.append(("key", a, a + p + 1))
+            v0 = p + 1
+            while v0 < len(txt) and txt[v0] == " ":
+                v0 += 1
+            nxt = None
+            i = v0
+            while nxt is None:
+                p2 = txt.find(":", i)
+                if p2 < 0 or not txt[p2 + 1:].strip():
+                    break
+                s2 = p2
+                while s2 > v0 and txt[s2 - 1] != " ":
+                    s2 -= 1
+                if s2 > v0 and _deva_key_colon(txt, s2, p2):
+                    nxt = (s2, p2)
+                i = p2 + 1
+            if nxt is None:
+                if txt[v0:].strip():
+                    split_spans.append(("value", a + v0, b))
+                break
+            s2, p2 = nxt
+            if txt[v0:s2].strip():
+                split_spans.append(("value", a + v0, a + s2))
+            a, p, txt = a + s2, p2 - s2, txt[s2:]
     merged = split_spans
 
     spans: list[tuple[str, str, float, str, np.ndarray]] = []

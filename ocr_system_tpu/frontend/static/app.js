@@ -129,10 +129,77 @@ document.getElementById("doc-search")?.addEventListener("input", renderDocuments
 
 const review = { doc: null, ext: null, page: 1, selected: null, edits: {} };
 
+// ---- viewer zoom/pan (reference parity: interactive_viewer.py:57-94's
+// zoomable review surface). A CSS transform on #viewer-zoom moves the
+// page image and the SVG overlay TOGETHER, so boxes stay registered at
+// any zoom — the overlay keeps its page-pixel viewBox.
+const zoom = { z: 1, x: 0, y: 0 };
+
+function applyZoom() {
+  const el = document.getElementById("viewer-zoom");
+  if (!el) return;
+  el.style.transform = `translate(${zoom.x}px, ${zoom.y}px) scale(${zoom.z})`;
+  const lvl = document.getElementById("zoom-level");
+  if (lvl) lvl.textContent = `${Math.round(zoom.z * 100)}%`;
+}
+
+function resetZoom() { zoom.z = 1; zoom.x = 0; zoom.y = 0; applyZoom(); }
+
+function zoomAt(cx, cy, factor) {
+  const nz = Math.min(8, Math.max(1, zoom.z * factor));
+  const f = nz / zoom.z;
+  // keep the point under the cursor fixed: p' = c + f*(p - c)
+  zoom.x = cx + f * (zoom.x - cx);
+  zoom.y = cy + f * (zoom.y - cy);
+  zoom.z = nz;
+  if (zoom.z === 1) { zoom.x = 0; zoom.y = 0; }
+  applyZoom();
+}
+
+(function wireZoom() {
+  const canvas = document.getElementById("viewer-canvas");
+  if (!canvas) return;
+  canvas.addEventListener("wheel", (ev) => {
+    ev.preventDefault();
+    const r = canvas.getBoundingClientRect();
+    zoomAt(ev.clientX - r.left, ev.clientY - r.top, ev.deltaY < 0 ? 1.2 : 1 / 1.2);
+  }, { passive: false });
+  let drag = null;
+  canvas.addEventListener("mousedown", (ev) => {
+    if (zoom.z <= 1) return;
+    drag = { x: ev.clientX - zoom.x, y: ev.clientY - zoom.y };
+    canvas.classList.add("panning");
+    ev.preventDefault();
+  });
+  window.addEventListener("mousemove", (ev) => {
+    if (!drag) return;
+    zoom.x = ev.clientX - drag.x;
+    zoom.y = ev.clientY - drag.y;
+    applyZoom();
+  });
+  window.addEventListener("mouseup", () => {
+    drag = null;
+    canvas.classList.remove("panning");
+  });
+  canvas.addEventListener("dblclick", resetZoom);
+  document.getElementById("zoom-in")?.addEventListener("click", () => {
+    const r = canvas.getBoundingClientRect();
+    zoomAt(r.width / 2, r.height / 2, 1.25);
+  });
+  document.getElementById("zoom-out")?.addEventListener("click", () => {
+    const r = canvas.getBoundingClientRect();
+    zoomAt(r.width / 2, r.height / 2, 1 / 1.25);
+  });
+  document.getElementById("zoom-reset")?.addEventListener("click", resetZoom);
+})();
+
 async function openReview(docId) {
   review.edits = {};
   review.selected = null;
   review.page = 1;
+  // reset zoom when opening a DIFFERENT document (the 3 s processing poll
+  // re-enters here for the same doc — don't fight the user's zoom)
+  if (review.doc?.id !== docId) resetZoom();
   const doc = await api.get(`/api/documents/${docId}`).catch((e) => (toast(e.message), null));
   if (!doc) return;
   review.doc = doc;

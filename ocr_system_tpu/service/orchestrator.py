@@ -265,19 +265,30 @@ class ExtractionOrchestrator:
                 # OVERRIDES the extractor's pair for the same label:
                 # squiggle-region words are suppressed before extraction
                 # (engine/pipeline._finish_page), so an extractor value under
-                # a signature label is misassigned neighboring text. A
-                # nearest-label guess (keyword_label=False) only fills a
-                # missing field — overriding on a guessed label measurably
-                # destroyed true fields on Devanagari forms.
+                # a signature label is usually misassigned neighboring text.
+                # Exception (ADVICE r3): when the surviving extractor value
+                # reads as clean printed text, it may be a real printed
+                # name/date under the label — keep it. A nearest-label guess
+                # (keyword_label=False) only fills a missing field —
+                # overriding on a guessed label measurably destroyed true
+                # fields on Devanagari forms.
+                from ocr_system_tpu.engine.handwriting import _is_clean_text
+
                 existing = {
-                    f.field_key.lower() for f in state.extract_result.fields
+                    f.field_key.lower(): f
+                    for f in state.extract_result.fields
                     if f.field_value.strip()
                 }
                 for sf in handwriting_to_fields(
                     hand, ocr.combined_layout_boxes
                 ):
-                    if (not sf.get("keyword_label")
-                            and sf["field_key"].lower() in existing):
+                    cur = existing.get(sf["field_key"].lower())
+                    if cur is not None and (
+                        not sf.get("keyword_label")
+                        or _is_clean_text(
+                            cur.field_value, float(cur.confidence or 1.0)
+                        )
+                    ):
                         continue
                     state.extract_result.fields = [
                         f for f in state.extract_result.fields

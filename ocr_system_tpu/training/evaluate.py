@@ -119,6 +119,11 @@ class E2EEvalResult:
     line_recall: float  # fraction of truth lines matched with CER < 0.3
     forms_page_cer: float = -1.0  # mean over FORM pages (-1 if none)
     plain_page_cer: float = -1.0  # mean over plain-text pages (-1 if none)
+    # CER with dot-leader tokens stripped from BOTH sides: the engine
+    # canonicalizes leader runs at markdown emission (reading_order.
+    # canonicalize_leaders) and eval truth matches it — this column proves
+    # the canonicalization isn't hiding real-content errors
+    content_page_cer: float = -1.0
 
 
 def _truth_charset(engine, charset):
@@ -168,6 +173,7 @@ def evaluate_end_to_end(
         forms_fraction = 0.0
     truth_charset = _truth_charset(engine, charset)
     page_cers = []
+    content_cers = []  # leaders stripped both sides (see E2EEvalResult)
     kinds = []  # parallel to page_cers: True = form page
     matched = total_lines = 0
     for i in range(n_pages):
@@ -178,14 +184,24 @@ def evaluate_end_to_end(
         else:
             page = renderer.render_page(size=size, augment=False)
         out = engine.process_pages([PageImage((page.image * 255).astype(np.uint8), 1)])[0]
+        from ocr_system_tpu.engine.reading_order import canonicalize_leaders
+
         texts = [
             truth_charset.decode(truth_charset.encode(t)) for t in page.texts
         ]
         # truth ROWS, clustered exactly like the engine's reading order
         # (same-row elements merge left-to-right) — per-element truth would
-        # punish the engine for legitimately joining "Date" with its value
-        truth_rows = _cluster_rows(page.quads, texts)
+        # punish the engine for legitimately joining "Date" with its value.
+        # Leader runs canonicalize exactly like engine markdown emission.
+        truth_rows = [
+            canonicalize_leaders(t) for t in _cluster_rows(page.quads, texts)
+        ]
         page_cers.append(cer("\n".join(truth_rows), out.markdown))
+        strip = lambda s: " ".join(s.replace("...", " ").split())
+        content_cers.append(cer(
+            "\n".join(strip(t) for t in truth_rows),
+            "\n".join(strip(g) for g in out.markdown.splitlines()),
+        ))
         got_lines = out.markdown.splitlines()
         for t in truth_rows:
             total_lines += 1
@@ -201,6 +217,9 @@ def evaluate_end_to_end(
         line_recall=matched / max(total_lines, 1),
         forms_page_cer=float(sum(forms) / len(forms)) if forms else -1.0,
         plain_page_cer=float(sum(plain) / len(plain)) if plain else -1.0,
+        content_page_cer=float(
+            sum(content_cers) / max(len(content_cers), 1)
+        ),
     )
 
 
@@ -282,7 +301,10 @@ def evaluate_form_extraction(
     rng = random.Random(seed + 1)
     tp = fp = fn = 0
     form_type_hits = 0
-    from ocr_system_tpu.engine.handwriting import handwriting_to_fields
+    from ocr_system_tpu.engine.handwriting import (
+        _is_clean_text,
+        handwriting_to_fields,
+    )
 
     for _ in range(n_docs):
         spec = SF.noisy_spec(gen.generate(page_size), rng, noise_rate)
@@ -302,11 +324,19 @@ def evaluate_form_extraction(
             for f in result.fields
             if f.field_key.strip() and f.field_value.strip()
         }
-        # pixel path (mirrors service/orchestrator): handwriting boxes +
-        # signature labels -> signature fields no token extractor can see
+        # pixel path (mirrors service/orchestrator's keyword-gated merge,
+        # ADVICE r3 eval/serving drift): a KEYWORD-labeled squiggle
+        # overrides the extractor's pair unless the extractor value reads
+        # as clean printed text; a nearest-label guess only fills a gap
         hand = [b for b in word_boxes if b.get("type") == "handwriting"]
         for sf in handwriting_to_fields(hand, word_boxes):
-            got[_norm_key(sf["field_key"])] = _norm_val(sf["field_value"])
+            k = _norm_key(sf["field_key"])
+            if sf.get("keyword_label") and not (
+                got.get(k) and _is_clean_text(got[k], 1.0)
+            ):
+                got[k] = _norm_val(sf["field_value"])
+            else:
+                got.setdefault(k, _norm_val(sf["field_value"]))
         for k, v in got.items():
             if truth.get(k) == v:
                 tp += 1

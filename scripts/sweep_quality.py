@@ -107,6 +107,7 @@ def main() -> None:
         emit("e2e_hybrid", {
             "forms_cer": round(r.forms_page_cer, 4),
             "plain_cer": round(r.plain_page_cer, 4),
+            "content_cer": round(r.content_page_cer, 4),
             "recall": round(r.line_recall, 4),
         })
 

@@ -224,6 +224,23 @@ class TestSpanLevelInlineSplit:
         got = {f.field_key: f.field_value for f in fields}
         assert got == {"जेखा": "बुमे ताजे"}
 
+    def test_multi_field_merge_splits_every_colon(self):
+        # ADVICE r3: a det row-merge spanning TWO inline deva fields must
+        # yield both pairs, not leave the second key inside the first value
+        text = "जेखा: १२ बुमे: ४५"
+        tags = [1] + [2] * (len(text) - 1)
+        fields = self._decode(text, tags)
+        got = {f.field_key: f.field_value for f in fields}
+        assert got == {"जेखा": "१२", "बुमे": "४५"}
+
+    def test_multi_field_merge_latin_value_kept_whole(self):
+        # a Latin-digit value between two deva keys must not be eaten
+        text = "जेखा: 12 A बुमे: xy"
+        tags = [1] + [2] * (len(text) - 1)
+        fields = self._decode(text, tags)
+        got = {f.field_key: f.field_value for f in fields}
+        assert got == {"जेखा": "12 A", "बुमे": "xy"}
+
     def test_latin_all_key_span_does_not_split(self):
         # the trained model is authoritative on Latin — a Latin key span
         # containing a colon stays one span (deva gate)

@@ -47,28 +47,35 @@ def server():
 
     loop = asyncio.new_event_loop()
     started = threading.Event()
-    port_holder = {}
+    holder = {}
 
     def run():
         asyncio.set_event_loop(loop)
 
         async def main():
+            # a stop Event (created in-loop) ends main() cleanly; stopping
+            # the loop out from under run_until_complete raises
+            # "Event loop stopped before Future completed" in this thread,
+            # which pytest surfaces as an unhandled-thread-exception warning
+            # in whatever test runs next
+            holder["stop"] = asyncio.Event()
             srv = await app.serve("127.0.0.1", 0)
-            port_holder["port"] = srv.sockets[0].getsockname()[1]
+            holder["port"] = srv.sockets[0].getsockname()[1]
             started.set()
             async with srv:
-                await srv.serve_forever()
+                await holder["stop"].wait()
 
         try:
             loop.run_until_complete(main())
-        except asyncio.CancelledError:
-            pass
+        finally:
+            loop.close()
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
     assert started.wait(5)
-    yield f"http://127.0.0.1:{port_holder['port']}"
-    loop.call_soon_threadsafe(loop.stop)
+    yield f"http://127.0.0.1:{holder['port']}"
+    loop.call_soon_threadsafe(holder["stop"].set)
+    t.join(5)
 
 
 def get(url, **kw):

@@ -61,3 +61,35 @@ def test_line_quad_is_union():
     line = order_blocks(blocks)[0]
     assert line.quad[0].tolist() == [10, 10]
     assert line.quad[2].tolist() == [140, 22]
+
+
+class TestLeaderCanonicalization:
+    """Dot-leader runs collapse to '...' at markdown emission: the dot
+    COUNT is presentation, not content, and its squeeze-drift dominated
+    plain-page e2e CER (round-3 diagnosis)."""
+
+    def test_long_run_collapses(self):
+        from ocr_system_tpu.engine.reading_order import canonicalize_leaders
+
+        assert canonicalize_leaders("Key ........... value") == "Key ... value"
+        assert canonicalize_leaders("a " + "." * 80) == "a ..."
+
+    def test_spaced_run_collapses(self):
+        from ocr_system_tpu.engine.reading_order import canonicalize_leaders
+
+        assert canonicalize_leaders("Key . . . . value") == "Key ... value"
+
+    def test_short_dots_untouched(self):
+        from ocr_system_tpu.engine.reading_order import canonicalize_leaders
+
+        assert canonicalize_leaders("e.g. v1.2") == "e.g. v1.2"
+        assert canonicalize_leaders("end.") == "end."
+        assert canonicalize_leaders("a..b") == "a..b"
+
+    def test_markdown_applies_canonicalization(self):
+        blocks = [
+            _block(10, 10, 40, 12, "Total"),
+            _block(60, 10, 80, 12, "......."),
+            _block(150, 10, 40, 12, "$5"),
+        ]
+        assert to_markdown(order_blocks(blocks)) == "Total ... $5"
