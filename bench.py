@@ -118,6 +118,7 @@ def _record(pages_per_sec_per_chip: float, at: str, full_size: bool) -> None:
             "value": _best["value"],
             "vs_baseline": _best["vs_baseline"],
             "value_at": _best["value_at"],
+            "full_size": _best_by_tier[True] > 0.0,
             "ts": time.time(),
             "git": _git_rev(),
         }
@@ -143,7 +144,12 @@ def _bank_save(snap: dict) -> None:
         return
     try:
         prev = _bank_load()
-        if prev and prev.get("value", 0.0) >= snap["value"]:
+        # tier-aware replacement: a full-size (serving-shape) headline beats
+        # any small-probe figure regardless of raw value; within a tier the
+        # higher value wins
+        if prev and (prev.get("full_size", False), prev.get("value", 0.0)) >= (
+            snap.get("full_size", False), snap["value"]
+        ):
             return
         tmp = _BANK_PATH + ".tmp"
         with open(tmp, "w") as f:

@@ -470,11 +470,16 @@ def create_app(ctx: ApiContext | None = None) -> App:
         from ocr_system_tpu.extract.chat import ChatTurn, ExtractionChat
 
         fields = ctx.repos.fields.list_for_extraction(ext["id"])
+        layout = ext.get("layout_data") or []
         chat = ExtractionChat(
             fields=fields,
             ocr_text=ext.get("raw_ocr_markdown") or "",
+            layout_boxes=layout if isinstance(layout, list) else [],
             history=[
-                ChatTurn(t.get("role", "user"), t.get("text", ""))
+                ChatTurn(
+                    t.get("role", "user"), t.get("text", ""),
+                    [str(k) for k in (t.get("fields") or [])],
+                )
                 for t in (body.get("history") or [])
                 if isinstance(t, dict)
             ],
@@ -485,8 +490,11 @@ def create_app(ctx: ApiContext | None = None) -> App:
                 "extraction_id": ext["id"],
                 "reply": out["reply"],
                 "matched_fields": out["matched_fields"],
+                # round-trip per-turn field refs: follow-up pronouns
+                # ("and its confidence?") resolve against them server-side
                 "history": [
-                    {"role": t.role, "text": t.text} for t in chat.history
+                    {"role": t.role, "text": t.text, "fields": t.fields}
+                    for t in chat.history
                 ],
             }
         )

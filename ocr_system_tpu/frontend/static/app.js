@@ -306,6 +306,44 @@ function renderFields() {
   document.getElementById("add-field-btn").disabled = !!e.is_finalized;
 }
 
+// ---- extraction chat (POST /api/extractions/{id}/chat; history
+// round-trips so follow-ups like "and its confidence?" resolve server-side)
+const chat = { history: [] };
+
+function chatAppend(role, text) {
+  const log = document.getElementById("chat-log");
+  const div = document.createElement("div");
+  div.className = `chat-msg ${role}`;
+  div.textContent = text;
+  log.appendChild(div);
+  log.scrollTop = log.scrollHeight;
+}
+
+async function chatSend() {
+  const input = document.getElementById("chat-input");
+  const msg = input.value.trim();
+  if (!msg || !review.ext) return;
+  input.value = "";
+  chatAppend("user", msg);
+  const out = await api
+    .post(`/api/extractions/${review.ext.id}/chat`,
+          { message: msg, history: chat.history })
+    .catch((e) => (toast(e.message), null));
+  if (!out) return;
+  chat.history = out.history;
+  chatAppend("assistant", out.reply);
+  // jump the viewer to the first field the answer cites
+  const hit = (out.matched_fields || [])
+    .map((k) => (review.ext.fields || []).find((f) => f.field_key === k))
+    .find(Boolean);
+  if (hit) selectField(hit.id);
+}
+
+document.getElementById("chat-send")?.addEventListener("click", chatSend);
+document.getElementById("chat-input")?.addEventListener("keydown", (ev) => {
+  if (ev.key === "Enter") chatSend();
+});
+
 window.selectField = function (id) {
   review.selected = id;
   const f = review.ext.fields.find((x) => x.id === id);

@@ -56,6 +56,138 @@ class TestIntents:
         assert c.history[-1].role == "assistant"
 
 
+RICH_FIELDS = [
+    {"field_key": "Invoice Number", "field_value": "INV-2024-001",
+     "confidence": 0.95, "field_type": "number", "is_valid": True,
+     "page_number": 1,
+     "value_bbox": {"polygon": [140, 96, 260, 96, 260, 120, 140, 120],
+                    "page": 1}},
+    {"field_key": "Total Amount", "field_value": "$1,234.56",
+     "confidence": 0.91, "field_type": "currency", "is_valid": True,
+     "page_number": 1},
+    {"field_key": "Customer", "field_value": "John Smith",
+     "confidence": 0.41, "field_type": "name", "is_edited": True,
+     "original_value": "Jhn Smth", "page_number": 2,
+     "value_bbox": {"polygon": [80, 40, 200, 40, 200, 60, 80, 60],
+                    "page": 2}},
+    {"field_key": "Due Date", "field_value": "2024-01-15",
+     "confidence": 0.88, "field_type": "date", "page_number": 2},
+    {"field_key": "Date", "field_value": "2024-01-01",
+     "confidence": 0.82, "field_type": "date", "page_number": 1},
+    {"field_key": "Date", "field_value": "2024-01-02",
+     "confidence": 0.64, "field_type": "date", "is_valid": False,
+     "validation_message": "ambiguous day/month", "page_number": 1},
+]
+
+LAYOUT = [
+    {"type": "line", "content": "PO Number:", "confidence": 0.93,
+     "polygon": [100, 300, 190, 300, 190, 320, 100, 320], "page_number": 1},
+    {"type": "line", "content": "7712", "confidence": 0.9,
+     "polygon": [205, 300, 250, 300, 250, 320, 205, 320], "page_number": 1},
+    {"type": "line", "content": "Reference: AB-99", "confidence": 0.9,
+     "polygon": [100, 350, 300, 350, 300, 370, 100, 370], "page_number": 1},
+]
+
+
+def make_rich_chat():
+    return ExtractionChat(
+        fields=[dict(f) for f in RICH_FIELDS], ocr_text=OCR,
+        layout_boxes=[dict(b) for b in LAYOUT],
+    )
+
+
+class TestConversation:
+    """VERDICT r3 item 7: multi-turn follow-up, aggregation, reconciliation."""
+
+    def test_followup_confidence(self):
+        c = make_rich_chat()
+        c.send("what is the invoice number?")
+        out = c.send("and its confidence?")
+        assert "95%" in out["reply"]
+        assert out["matched_fields"] == ["Invoice Number"]
+
+    def test_followup_page_and_location(self):
+        c = make_rich_chat()
+        c.send("what is the customer?")
+        out = c.send("what page is it on?")
+        assert "page 2" in out["reply"]
+        out = c.send("where is it?")
+        assert "near (80, 40)" in out["reply"]
+
+    def test_followup_original_value(self):
+        c = make_rich_chat()
+        c.send("customer?")
+        out = c.send("was it edited?")
+        assert "Jhn Smth" in out["reply"] and "John Smith" in out["reply"]
+
+    def test_focus_survives_listing(self):
+        # a multi-field listing must not steal the single-field focus
+        c = make_rich_chat()
+        c.send("what is the total amount?")
+        c.send("list fields")
+        out = c.send("and its confidence?")
+        assert "91%" in out["reply"]
+
+    def test_aggregation_low_confidence_on_page(self):
+        c = make_rich_chat()
+        out = c.send("which fields are low confidence on page 2")
+        assert "Customer" in out["reply"]
+        assert "Due Date" not in out["reply"]  # 0.88, above threshold
+
+    def test_aggregation_threshold(self):
+        out = make_rich_chat().send("which fields are below 90%?")
+        for k in ("Customer", "Due Date", "Date"):
+            assert k in out["reply"]
+        assert "Invoice Number" not in out["reply"]
+
+    def test_count_and_average(self):
+        c = make_rich_chat()
+        assert "6 field(s)" in c.send("how many fields are there?")["reply"]
+        assert "4 field(s) on page 1" in (
+            c.send("how many fields on page 1?")["reply"])
+        out = c.send("what is the average confidence?")
+        assert "%" in out["reply"] and "Customer" in out["reply"]
+
+    def test_reconcile_conflicting_fields(self):
+        out = make_rich_chat().send("the dates conflict - which is right?")
+        assert "2 conflicting values" in out["reply"]
+        assert "2024-01-01" in out["reply"] and "2024-01-02" in out["reply"]
+        # the invalid one loses; the valid-by-default higher-conf one wins
+        assert "Recommend '2024-01-01'" in out["reply"]
+
+    def test_reconcile_no_conflict_reports_edits(self):
+        out = make_rich_chat().send("reconcile the customer")
+        assert "Jhn Smth" in out["reply"]  # edit-vs-OCR divergence surfaced
+
+    def test_citation_on_lookup(self):
+        out = make_rich_chat().send("what is the invoice number?")
+        assert "(page 1, near (140, 96))" in out["reply"]
+
+    def test_requery_layout_neighbor(self):
+        # 'PO number' was never extracted: re-query finds the label box and
+        # pairs its right-neighbor as candidate value
+        out = make_rich_chat().send("what about the PO number?")
+        assert "PO Number" in out["reply"]
+        assert "7712" in out["reply"]
+        assert "candidate" in out["reply"]
+
+    def test_requery_inline_colon(self):
+        out = make_rich_chat().send("find the reference")
+        assert "AB-99" in out["reply"]
+
+    def test_history_roundtrip_restores_focus(self):
+        # stateless serving: a NEW chat built from the returned history
+        # resolves the same follow-up
+        c1 = make_rich_chat()
+        c1.send("what is the invoice number?")
+        c2 = ExtractionChat(
+            fields=[dict(f) for f in RICH_FIELDS], ocr_text=OCR,
+            history=list(c1.history),
+        )
+        out = c2.send("and its confidence?")
+        assert "95%" in out["reply"]
+
+
 class TestRoute:
     def test_chat_route(self, tmp_path, settings, form_png):
         import asyncio
