@@ -377,6 +377,8 @@ def decode_tags(
         key_of_value[vi] = ki
         used_keys.add(ki)
 
+    from ocr_system_tpu.extract.postfix import autocorrect_value
+
     fields: list[ExtractedField] = []
     for vi, (_, text, c, ftype, _vb) in enumerate(values):
         ki = key_of_value.get(vi)
@@ -385,7 +387,7 @@ def decode_tags(
             fields.append(
                 ExtractedField(
                     field_key=ktext.rstrip(":").strip(),
-                    field_value=text,
+                    field_value=autocorrect_value(text, ftype),
                     field_type=ftype,
                     confidence=round(min(kc, c), 4),
                 )
@@ -394,7 +396,7 @@ def decode_tags(
             fields.append(
                 ExtractedField(
                     field_key="",
-                    field_value=text,
+                    field_value=autocorrect_value(text, ftype),
                     field_type=ftype,
                     confidence=round(c, 4),
                 )
@@ -571,9 +573,21 @@ class LayoutModelExtractor:
                 result.raw_response = "layout_model:degenerate->rules"
                 return result
 
+        # known form family: snap noisy keys onto its canonical lexicon
+        # (the local analog of template.expected_fields sent to Gemini;
+        # Unknown forms have no lexicon and keep the OCR reading)
+        from ocr_system_tpu.extract.postfix import FORM_KEY_LEXICON, snap_key
+
+        form_type = FORM_TYPES[form_idx]
+        lex = FORM_KEY_LEXICON.get(form_type)
+        if lex:
+            for f in fields:
+                if f.field_key:
+                    f.field_key = snap_key(f.field_key, lex)
+
         return ExtractionResult(
             fields=fields,
-            form_type=FORM_TYPES[form_idx],
+            form_type=form_type,
             language=infer_language(ocr_text),
             token_count=n_valid,
             processing_time_ms=int((time.perf_counter() - t0) * 1000),

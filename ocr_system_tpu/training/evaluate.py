@@ -423,7 +423,12 @@ def evaluate_form_extraction_e2e(
             else:
                 got.setdefault(k, _norm_val(sf["field_value"]))
         truth = {
-            _norm_key(k): _norm_val(v) for k, v, _ in spec.pairs if v.strip()
+            _norm_key(k): _norm_val(v)
+            # a pair whose element render_spec skipped (off-page) is
+            # unreadable by ANY OCR — excluding it keeps the e2e metric
+            # about the engine, not the synth layout's overflow
+            for i, (k, v, _) in enumerate(spec.pairs)
+            if v.strip() and i not in spec.dropped_pair_ids
         }
         for k, v in got.items():
             if truth.get(k) == v:

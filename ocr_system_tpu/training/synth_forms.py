@@ -63,6 +63,11 @@ class FormSpec:
     table_lines: list[tuple[float, float, float, float]] = field(
         default_factory=list
     )  # ruled lines (x0, y0, x1, y1) to draw
+    # pair indices whose key/value element could NOT be drawn (would run off
+    # the page) — render_spec fills this; eval truth must exclude them (an
+    # undrawn value is unreadable by ANY OCR, so counting it as MISSING
+    # penalizes the engine for pixels that do not exist)
+    dropped_pair_ids: set[int] = field(default_factory=set)
 
 
 # ---------------------------------------------------------------- content
@@ -495,9 +500,22 @@ class FormGenerator:
                 ktext = key + (":" if r.random() < self.colon_fraction else "")
                 ke = em(ktext, x, cy, fs, "key", ftype, pid)
                 gap = r.randint(int(fs * 0.8), int(fs * 4))
-                vx = min(ke.x1 + gap, size - margin - len(value) * char_w * fs)
-                em(value, max(vx, ke.x1 + 4), cy, fs, "value", ftype, pid)
-                cols_y[col] = cy + fs + row_gap
+                vw = len(value) * char_w * fs
+                vx = min(ke.x1 + gap, size - margin - vw)
+                if vx < ke.x1 + 4:
+                    # value can't fit on the row (narrow column + long
+                    # value): wrap below the key like real forms do. The
+                    # old max() clamp pushed it off the right page edge —
+                    # render skipped it but the pair stayed in truth, so
+                    # eval demanded text that was never drawn (doc-8 class
+                    # MISSING losses in diag_extract_pipeline)
+                    vy = cy + int(fs * 1.4)
+                    em(value, x + r.randint(0, fs), vy, fs,
+                       "value", ftype, pid)
+                    cols_y[col] = vy + fs + row_gap
+                else:
+                    em(value, vx, cy, fs, "value", ftype, pid)
+                    cols_y[col] = cy + fs + row_gap
             elif style < 0.78:
                 # key above, value below
                 ktext = key + (":" if r.random() < self.colon_fraction else "")
@@ -509,20 +527,32 @@ class FormGenerator:
                 # tab-stop: value at a fixed right column, wide separation
                 # (common on statements; round-3 held-out family showed the
                 # extractor had never seen it)
-                em(key, x, cy, fs, "key", ftype, pid)
-                vx = x + int(col_w * r.uniform(0.55, 0.75))
-                em(value, min(vx, size - margin -
-                              int(len(value) * char_w * fs)),
-                   cy, fs, "value", ftype, pid)
-                cols_y[col] = cy + fs + row_gap
+                ke = em(key, x, cy, fs, "key", ftype, pid)
+                vx = min(x + int(col_w * r.uniform(0.55, 0.75)),
+                         size - margin - int(len(value) * char_w * fs))
+                if vx < ke.x1 + 4:  # clamp collided with the key: wrap below
+                    vy = cy + int(fs * 1.4)
+                    em(value, x + r.randint(0, fs), vy, fs,
+                       "value", ftype, pid)
+                    cols_y[col] = vy + fs + row_gap
+                else:
+                    em(value, vx, cy, fs, "value", ftype, pid)
+                    cols_y[col] = cy + fs + row_gap
             elif style < 0.93:
                 # dotted leader between key and value
                 ke = em(key, x, cy, fs, "key", ftype, pid)
-                vx = x + int(col_w * r.uniform(0.55, 0.7))
-                n_dots = max(int((vx - ke.x1 - 8) / (char_w * fs)), 3)
-                em("." * n_dots, ke.x1 + 4, cy, fs, "other")
-                em(value, vx, cy, fs, "value", ftype, pid)
-                cols_y[col] = cy + fs + row_gap
+                vx = min(x + int(col_w * r.uniform(0.55, 0.7)),
+                         size - margin - int(len(value) * char_w * fs))
+                if vx < ke.x1 + 12:  # no room for dots+value: wrap below
+                    vy = cy + int(fs * 1.4)
+                    em(value, x + r.randint(0, fs), vy, fs,
+                       "value", ftype, pid)
+                    cols_y[col] = vy + fs + row_gap
+                else:
+                    n_dots = max(int((vx - ke.x1 - 8) / (char_w * fs)), 3)
+                    em("." * n_dots, ke.x1 + 4, cy, fs, "other")
+                    em(value, vx, cy, fs, "value", ftype, pid)
+                    cols_y[col] = cy + fs + row_gap
             else:
                 # ALL-CAPS bold label row, value indented below
                 em(key.upper(), x, cy, fs, "key", ftype, pid, bold=True)
@@ -1033,6 +1063,7 @@ def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = Tru
         d.line([(x0, y0), (x1, y1)], fill=r.randint(60, 140), width=1)
 
     quads, texts = [], []
+    spec.dropped_pair_ids.clear()  # idempotent across re-renders
     for e in spec.elements:
         if e.role == "value" and e.field_type == "signature":
             # handwriting squiggle instead of text; excluded from the det/
@@ -1043,6 +1074,8 @@ def render_spec(spec: FormSpec, font_dir: str | None = None, augment: bool = Tru
         ink_fill = r.randint(0, 70)
         bbox = draw_element(e)
         if bbox is None:
+            if e.pair_id >= 0:
+                spec.dropped_pair_ids.add(e.pair_id)
             continue
         e.x0, e.y0, e.x1, e.y1 = map(float, bbox)
         quads.append(

@@ -79,7 +79,9 @@ def main() -> None:
             else:
                 got.setdefault(k, _norm_val(sf["field_value"]))
         truth = {
-            _norm_key(k): _norm_val(v) for k, v, _ in spec.pairs if v.strip()
+            _norm_key(k): _norm_val(v)
+            for i, (k, v, _) in enumerate(spec.pairs)
+            if v.strip() and i not in spec.dropped_pair_ids
         }
 
         matched_g = set()

@@ -148,6 +148,60 @@ class TestRender:
         assert ps.shrink_map.max() == 1.0
         assert 0.0 <= ps.thresh_map.max() <= 1.0
 
+    def test_truth_pairs_are_rendered(self):
+        """Every truth pair's key AND value must actually be drawn (or the
+        pair flagged in dropped_pair_ids) — eval must never demand text
+        that ran off the page. With the wrap-below overflow fix the drop
+        rate itself must be rare (<2% of pairs over many forms)."""
+        gen = SF.FormGenerator(seed=77)
+        total = dropped = 0
+        for _ in range(40):
+            spec = gen.generate(960)
+            SF.render_spec(spec, augment=False)
+            drawn_pair_elems = {
+                e.pair_id
+                for e in spec.elements
+                if e.pair_id >= 0 and e.x1 <= 960 and e.y1 <= 960
+            }
+            for i, (k, v, ft) in enumerate(spec.pairs):
+                total += 1
+                if i in spec.dropped_pair_ids:
+                    dropped += 1
+                    continue
+                # undropped pairs must have an on-page element
+                assert i in drawn_pair_elems, (
+                    f"pair {i} ({k!r}: {v!r}) neither drawn nor dropped"
+                )
+            # dropped ids only refer to real pairs
+            assert all(0 <= i < len(spec.pairs)
+                       for i in spec.dropped_pair_ids)
+        assert total > 100
+        assert dropped / total < 0.02, (
+            f"{dropped}/{total} pairs dropped — overflow wrap regressed"
+        )
+
+    def test_value_never_overlaps_key(self):
+        """Tab-stop/leader clamps must not land the value on top of its
+        key (overlapping ink poisons det training and makes the pair
+        unreadable)."""
+        gen = SF.FormGenerator(seed=123)
+        for _ in range(40):
+            spec = gen.generate(960)
+            by_pair: dict[int, dict[str, object]] = {}
+            for e in spec.elements:
+                if e.pair_id >= 0 and e.role in ("key", "value"):
+                    by_pair.setdefault(e.pair_id, {})[e.role] = e
+            for pid, kv in by_pair.items():
+                if "key" not in kv or "value" not in kv:
+                    continue
+                k, v = kv["key"], kv["value"]
+                same_row = not (k.y1 <= v.y0 or v.y1 <= k.y0)
+                if same_row:
+                    assert v.x0 >= k.x1 or k.x0 >= v.x1, (
+                        f"pair {pid}: value {v.text!r} overlaps key "
+                        f"{k.text!r}"
+                    )
+
 
 class TestGeometricPairing:
     def test_two_column_interleave(self):
