@@ -172,27 +172,54 @@ class Detector:
             self._forward_cache[key] = fwd
         return self._forward_cache[key]
 
+    # wall-time breakdown of the last detect_batch call, keyed by stage —
+    # populated only when OCR_DET_PROFILE=1 (perf diagnosis: det_wall runs
+    # ~10x det_device over the tunnel; this says where)
+    last_profile: dict[str, float] | None = None
+
     def detect_batch(self, pages: list[np.ndarray]) -> list[DetResult]:
         """pages: list of (H, W, 3) uint8 arrays (original sizes)."""
+        import os
+        import time as _time
+
+        prof: dict[str, float] | None = (
+            {} if os.environ.get("OCR_DET_PROFILE") == "1" else None
+        )
+
+        def _tick(key: str, t0: float) -> float:
+            t1 = _time.perf_counter()
+            if prof is not None:
+                prof[key] = prof.get(key, 0.0) + (t1 - t0)
+            return t1
+
         s = self.settings
         pages = list(pages)
         by_bucket: dict[int, list[int]] = {}
         canvases: dict[int, np.ndarray] = {}
         scales: dict[int, float] = {}
+        t = _time.perf_counter()
         for i, page in enumerate(pages):
             bucket = _det_bucket(page.shape, s.det_image_buckets)
             canvases[i], scales[i] = _letterbox_host(page, bucket)
             by_bucket.setdefault(bucket, []).append(i)
+        t = _tick("letterbox", t)
 
         results: dict[int, DetResult] = {}
         for bucket, idxs in by_bucket.items():
+            t = _time.perf_counter()
             batch = np.stack([canvases[i] for i in idxs])
             batch, n_real = self._pad_for_dp(batch)
             fwd = self._forward(bucket, batch.shape[0])
-            placed = self._place(self._pack_wire(batch))
+            packed = self._pack_wire(batch)
+            t = _tick("pack", t)
+            placed = self._place(packed)
+            if hasattr(placed, "block_until_ready"):
+                placed.block_until_ready()
+            t = _tick("upload", t)
             prob, angles, canvas_dev = fwd(placed, self.variables)
             prob, angles = prob[:n_real], angles[:n_real]
             angles = np.asarray(angles)
+            t = _tick("fwd+fetch_angles", t)
 
             # host-side deskew + single re-pass for pages that need it
             skewed = [
@@ -211,9 +238,14 @@ class Detector:
                 placed = self._place(self._pack_wire(batch))
                 prob, _, canvas_dev = fwd(placed, self.variables)
                 prob = prob[:n_real]
+            t = _tick("deskew_repass", t)
 
             prob = np.asarray(prob).astype(np.float32) / 255.0
+            t = _tick("fetch_prob", t)
+            t_boxes = 0.0
+            t_ink = 0.0
             for j, i in enumerate(idxs):
+                t = _time.perf_counter()
                 scale = scales[i]
                 h, w = pages[i].shape[:2]
                 boxes = boxes_from_prob_map(
@@ -225,6 +257,8 @@ class Detector:
                     clip_wh=(w, h),
                     max_boxes=s.max_boxes_per_page,
                 )
+                t_boxes += _time.perf_counter() - t
+                t = _time.perf_counter()
                 # ink-snap + proportional margin: DB's stride-2 prob map
                 # quantizes tiny-text box edges; snap extents to the actual
                 # ink, then pad a small margin for the recognizer
@@ -255,6 +289,12 @@ class Detector:
                     canvas_row=j,
                     canvas_scale=scale,
                 )
+                t_ink += _time.perf_counter() - t
+            if prof is not None:
+                prof["boxes"] = prof.get("boxes", 0.0) + t_boxes
+                prof["ink+pad"] = prof.get("ink+pad", 0.0) + t_ink
+        if prof is not None:
+            Detector.last_profile = prof
         return [results[i] for i in range(len(pages))]
 
     def _pack_wire(self, batch: np.ndarray) -> np.ndarray:
@@ -343,7 +383,14 @@ def _ink_snap(
     win = gray[wy0:wy1, wx0:wx1]
     if win.size == 0:
         return
-    bg = float(np.percentile(win, 90))
+    # histogram 90th percentile on a 2x2-subsampled window: uint8 range
+    # makes bincount+cumsum exact enough for a background estimate at ~10x
+    # less cost than np.percentile (profiled: percentile was half of
+    # _ink_snap, which itself was ~30 ms/page at 157 boxes)
+    sub = win[::2, ::2] if win.shape[0] > 8 and win.shape[1] > 8 else win
+    hist = np.bincount(sub.reshape(-1), minlength=256)
+    csum = np.cumsum(hist)
+    bg = float(np.searchsorted(csum, 0.9 * csum[-1]))
     ink_t = max(bg - 50.0, (float(win.min()) + bg) / 2.0)
     dark_cols = (win < ink_t).sum(axis=0)
     dark_rows_full = win < ink_t

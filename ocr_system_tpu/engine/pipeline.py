@@ -342,11 +342,21 @@ class JaxOCREngine:
     # saved transfer)
     REC_CANVAS_MIN_SCALE = 0.98
 
+    # wall-time breakdown of the last rec_stage call (OCR_DET_PROFILE=1)
+    last_rec_profile: dict | None = None
+
     def rec_stage(
         self, pages: list[PageImage], dets, t0: float | None = None
     ) -> list[OCROutput]:
+        import os as _os
+
+        prof = {} if _os.environ.get("OCR_DET_PROFILE") == "1" else None
         t0 = time.perf_counter() if t0 is None else t0
+        _t = time.perf_counter()
         recognizers = self._route_and_normalize(pages, dets)
+        if prof is not None:
+            prof["route"] = time.perf_counter() - _t
+            _t = time.perf_counter()
         quads_list = [
             np.array([b.quad for b in d.boxes], np.float32).reshape(-1, 4, 2)
             for d in dets
@@ -361,6 +371,10 @@ class JaxOCREngine:
                 for p, d, q in zip(pages, dets, quads_list)
             ]
         recs_list = self._recognize(pages, dets, quads_list, recognizers)
+        if prof is not None:
+            prof["recognize"] = time.perf_counter() - _t
+            _t = time.perf_counter()
+            JaxOCREngine.last_rec_profile = prof
         if len(pages) <= 1:
             return [
                 self._finish_page(p, d, t0, recs=r)
@@ -373,7 +387,7 @@ class JaxOCREngine:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(8, len(pages))) as ex:
-            return list(
+            out = list(
                 ex.map(
                     lambda pdr: self._finish_page(
                         pdr[0], pdr[1], t0, recs=pdr[2]
@@ -381,6 +395,9 @@ class JaxOCREngine:
                     zip(pages, dets, recs_list),
                 )
             )
+        if prof is not None:
+            prof["finish"] = time.perf_counter() - _t
+        return out
 
     def _recognize(self, pages, dets, quads_list, recognizers=None):
         """Dispatch recognition, grouped by recognizer assignment (a wave

@@ -203,14 +203,85 @@ def boxes_from_prob_map(
     starts = np.searchsorted(comp_of, np.arange(1, n + 1))
     ends = np.append(starts[1:], len(comp_of))
 
+    # ---- vectorized fast path for NEAR-RECTANGULAR components ----
+    # A DB shrink component for a straight text word is a filled rectangle;
+    # its min-area rect IS its axis-aligned bbox, and the unclip offset has
+    # the closed form d = w*h*ratio / (2*(w+h)). Computing hull + rotating
+    # calipers per component in Python cost ~0.7 ms/box (~120 ms/page at
+    # 157 boxes — the detection stage's dominant wall time, profiled r4);
+    # the fill-ratio test routes only genuinely rotated/ragged components
+    # (fill < 0.85) through the exact slow path.
+    valid = np.zeros(n + 1, bool)
+    valid[1:] = (mean_scores[1:] >= box_thresh) & (ends > starts)
+    x0 = np.zeros(n + 1, np.float64)
+    x1 = np.zeros(n + 1, np.float64)
+    y0 = np.zeros(n + 1, np.float64)
+    y1 = np.zeros(n + 1, np.float64)
+    nz = np.nonzero(ends > starts)[0]
+    if len(nz):
+        s_nz = starts[nz]
+        x0[nz + 1] = np.minimum.reduceat(xs, s_nz)
+        x1[nz + 1] = np.maximum.reduceat(xs, s_nz)
+        y0[nz + 1] = np.minimum.reduceat(ys, s_nz)
+        y1[nz + 1] = np.maximum.reduceat(ys, s_nz)
+    # fill uses pixel-count semantics (+1 spans); the size filter and the
+    # emitted quad use EXTENT semantics (x1-x0) to match min_area_rect
+    fill = np.where(
+        valid,
+        counts / np.maximum((x1 - x0 + 1.0) * (y1 - y0 + 1.0), 1.0),
+        0.0,
+    )
+    w_all = x1 - x0
+    h_all = y1 - y0
+    size_ok = ~(
+        (np.minimum(w_all, h_all) < min_size)
+        & (np.maximum(w_all, h_all) < min_size * 3)
+    )
+    # principal-axis angle per component (vectorized second moments): a
+    # ragged-but-straight word blob (fill well below 0.85 on stroke-heavy
+    # pages — measured 0.4-0.8) still reads θ≈0°/90°, where min_area_rect
+    # ≈ the AABB anyway; only genuinely tilted components need calipers.
+    cnz = np.maximum(counts, 1.0)
+    mx = np.bincount(comp_of, weights=xs, minlength=n + 1) / cnz
+    my = np.bincount(comp_of, weights=ys, minlength=n + 1) / cnz
+    mxx = np.bincount(comp_of, weights=xs * xs, minlength=n + 1) / cnz - mx * mx
+    myy = np.bincount(comp_of, weights=ys * ys, minlength=n + 1) / cnz - my * my
+    mxy = np.bincount(
+        comp_of, weights=xs.astype(np.float64) * ys, minlength=n + 1
+    ) / cnz - mx * my
+    theta = 0.5 * np.arctan2(2.0 * mxy, mxx - myy)  # radians, [-pi/2, pi/2]
+    dev = np.minimum(np.abs(theta), np.pi / 2 - np.abs(theta))
+    axis_aligned = dev < np.deg2rad(3.0)
+    fast = valid & size_ok & ((fill >= 0.85) | (axis_aligned & (fill >= 0.3)))
+    slow = valid & size_ok & ~fast
+    boxes_from_prob_map.last_split = (  # type: ignore[attr-defined]
+        int(fast.sum()), int(slow.sum()),
+        np.round(fill[slow], 2).tolist(),
+    )
+
     sx, sy = scale_xy
-    for comp in range(1, n + 1):
-        score = float(mean_scores[comp])
-        if score < box_thresh:
-            continue
+    fast_ids = np.nonzero(fast)[0]
+    if len(fast_ids):
+        fx0, fx1 = x0[fast_ids], x1[fast_ids]
+        fy0, fy1 = y0[fast_ids], y1[fast_ids]
+        w = fx1 - fx0
+        h = fy1 - fy0
+        d = w * h * unclip_ratio / np.maximum(2.0 * (w + h), 1e-6)
+        quads = np.empty((len(fast_ids), 4, 2), np.float32)
+        quads[:, 0, 0] = quads[:, 3, 0] = (fx0 - d) * sx
+        quads[:, 1, 0] = quads[:, 2, 0] = (fx1 + d) * sx
+        quads[:, 0, 1] = quads[:, 1, 1] = (fy0 - d) * sy
+        quads[:, 2, 1] = quads[:, 3, 1] = (fy1 + d) * sy
+        if clip_wh is not None:
+            np.clip(quads[..., 0], 0, clip_wh[0] - 1, out=quads[..., 0])
+            np.clip(quads[..., 1], 0, clip_wh[1] - 1, out=quads[..., 1])
+        for k, comp in enumerate(fast_ids):
+            boxes.append(
+                DetectedBox(quad=quads[k], score=float(mean_scores[comp]))
+            )
+
+    for comp in np.nonzero(slow)[0]:
         s, e = starts[comp - 1], ends[comp - 1]
-        if e <= s:
-            continue
         pts = _row_extremes(xs[s:e], ys[s:e])
         quad, w, h = min_area_rect(pts)
         if min(w, h) < min_size and max(w, h) < min_size * 3:
@@ -221,7 +292,7 @@ def boxes_from_prob_map(
         if clip_wh is not None:
             quad[:, 0] = np.clip(quad[:, 0], 0, clip_wh[0] - 1)
             quad[:, 1] = np.clip(quad[:, 1], 0, clip_wh[1] - 1)
-        boxes.append(DetectedBox(quad=quad, score=score))
+        boxes.append(DetectedBox(quad=quad, score=float(mean_scores[comp])))
 
     boxes.sort(key=lambda b: -b.score)
     return boxes[:max_boxes]

@@ -213,6 +213,40 @@ class TestBoxes:
         assert found[0].quad[:, 0].max() <= 89
         assert found[0].quad[:, 1].max() <= 89
 
+    def test_fast_path_matches_exact_on_rectangles(self):
+        """Filled-rectangle components take the vectorized AABB fast path;
+        its quads must match hull+calipers+unclip within a pixel."""
+        pm = np.zeros((200, 200), np.float32)
+        rects = [(10, 20, 15, 80), (40, 50, 100, 190), (120, 135, 30, 44)]
+        for y0, y1, x0, x1 in rects:
+            pm[y0:y1, x0:x1] = 0.9
+        found = boxes.boxes_from_prob_map(pm)
+        assert len(found) == len(rects)
+        for b in sorted(found, key=lambda b: b.quad[:, 1].min()):
+            # exact slow-path reference for the same component
+            ys, xs = np.nonzero(
+                (pm > 0.3)
+                & (np.arange(200)[:, None] >= b.quad[:, 1].min())
+                & (np.arange(200)[:, None] <= b.quad[:, 1].max())
+            )
+            pts = boxes._row_extremes(xs, ys)
+            ref, _, _ = boxes.min_area_rect(pts)
+            ref = boxes.unclip_quad(ref, 1.6)
+            assert np.abs(np.sort(b.quad, axis=0)
+                          - np.sort(ref, axis=0)).max() < 1.5
+
+    def test_rotated_component_uses_exact_path(self):
+        """A thin diagonal stroke has low AABB fill: it must go through
+        min_area_rect and come back as a genuinely rotated quad."""
+        pm = np.zeros((100, 100), np.float32)
+        for i in range(40):
+            pm[20 + i, 20 + i : 26 + i] = 0.95  # 45-degree bar
+        found = boxes.boxes_from_prob_map(pm)
+        assert len(found) == 1
+        q = found[0].quad
+        # rotated: no edge is axis-aligned (x varies along the top edge)
+        assert abs(q[0, 1] - q[1, 1]) > 3
+
 
 class TestNative:
     def test_native_label_matches_scipy(self):
