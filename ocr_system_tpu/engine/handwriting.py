@@ -207,6 +207,31 @@ def detect_handwriting(
     return marks
 
 
+def squiggle_overrides(
+    sf: dict, existing_value: str | None, existing_conf: float = 1.0
+) -> bool:
+    """Merge policy for a squiggle field vs an extractor pair on the same
+    key — the ONE decision shared by serving (orchestrator) and both eval
+    paths, so they cannot drift (ADVICE r3):
+
+    - no existing value: fill.
+    - keyword label ('Signature:'): override unless the existing value
+      reads as clean printed text (a real printed name/date under the
+      label survives — ADVICE r3).
+    - nearest-label guess: override only when the squiggle is glued to its
+      label (label_gap <= 1.5 label heights; nothing printed fits between,
+      so the extractor's same-key value must be misassigned distant text —
+      diag r4 'window: Tizolu' family). Unconditional override here was
+      measured in r3 to destroy true Devanagari fields; the adjacency gate
+      is what makes it safe.
+    """
+    if existing_value is None or not existing_value.strip():
+        return True
+    if sf.get("keyword_label"):
+        return not _is_clean_text(existing_value, existing_conf)
+    return float(sf.get("label_gap", 99.0)) <= 1.5
+
+
 def handwriting_to_fields(
     hand_boxes: list[dict], layout_boxes: list[dict]
 ) -> list[dict]:
@@ -242,7 +267,13 @@ def handwriting_to_fields(
             below = h_y0 - w_y1
             if same_row and -w_h <= right_d <= w_h * 20:
                 d = max(right_d, 0.0)
-            elif -w_h * 2 <= below <= w_h * 3.5 and h_x0 < w_x1 + w_h * 20:
+            elif (
+                -w_h * 2 <= below <= w_h * 3.5
+                # under the label, not off to its left: a y-overlapping
+                # label RIGHT of the squiggle used to win here at d=w_h
+                # and beat the true same-row label (diag r4 doc 5)
+                and w_x0 - w_h <= h_x0 < w_x1 + w_h * 20
+            ):
                 d = max(below, 0.0) + w_h  # below: small penalty
             else:
                 continue
@@ -290,13 +321,22 @@ def handwriting_to_fields(
             cp = txt.find(":")
             if 0 <= cp < len(txt) - 1 and txt[cp + 1:].strip():
                 continue
+            # VALUE-shaped runs are not labels: digit-dominant text (a
+            # phone/date/amount box) or a long det row-merge (>5 tokens)
+            # paired a squiggle into a fabricated field (diag r4 doc 5:
+            # squiggle -> '(919) 214-5410' and a whole merged row)
+            n_digits = sum(c.isdigit() for c in txt)
+            if n_digits > 0.4 * max(len(txt.replace(" ", "")), 1):
+                continue
+            if len(txt.split()) > 5:
+                continue
             # (measured, rejected: also skipping labels with any printed
             # same-row right neighbor — multi-word labels get skipped and
             # the pairing falls through to VALUE words, 35/8 -> 35/10
             # exact/spurious on the forms_e2e diagnostic)
             wx = wb["polygon"][0::2]
             wy = wb["polygon"][1::2]
-            w_x1 = max(wx)
+            w_x0, w_x1 = min(wx), max(wx)
             w_y0, w_y1 = min(wy), max(wy)
             w_h = max(w_y1 - w_y0, 1.0)
             same_row = abs(h_yc - (w_y0 + w_y1) / 2.0) < w_h * 1.5
@@ -304,7 +344,11 @@ def handwriting_to_fields(
             below = h_y0 - w_y1
             if same_row and -w_h <= right_d <= w_h * 10:
                 d = max(right_d, 0.0)
-            elif -w_h * 2 <= below <= w_h * 3.0 and h_x0 < w_x1 + w_h * 10:
+            elif (
+                -w_h * 2 <= below <= w_h * 3.0
+                # same under-the-label constraint as the keyword pass
+                and w_x0 - w_h <= h_x0 < w_x1 + w_h * 10
+            ):
                 d = max(below, 0.0) + w_h
             else:
                 continue
@@ -316,6 +360,10 @@ def handwriting_to_fields(
         # label word runs often end with the key's last word; take the
         # trailing "Key:"-like text (strip a value if the run merged one)
         key = best_wb["content"].strip().rstrip(":")
+        w_h = max(
+            max(best_wb["polygon"][1::2]) - min(best_wb["polygon"][1::2]),
+            1.0,
+        )
         fields.append(
             {
                 "field_key": key,
@@ -324,8 +372,12 @@ def handwriting_to_fields(
                 "confidence": round(hb["confidence"] * 0.8, 4),
                 "page_number": best_wb.get("page_number", 1),
                 # nearest-label guess: fills a missing field downstream but
-                # must NOT override an extractor pair for the same key
+                # must NOT override an extractor pair for the same key —
+                # UNLESS the squiggle hugs the label (label_gap, in label
+                # heights): nothing printed can fit between them, so a
+                # same-key extractor pair must be misassigned distant text
                 "keyword_label": False,
+                "label_gap": round(float(best_d) / w_h, 3),
             }
         )
     return fields

@@ -309,19 +309,45 @@ def decode_tags(
         deva = [c for c in core if "ऀ" <= c <= "ॿ"]
         return len(deva) >= 2 and len(deva) >= 0.5 * max(len(core), 1)
 
+    def _latin_label_start(txt: str, v0: int, p2: int) -> int | None:
+        """Longest run of alphabetic words (len>=2) ending at colon p2 —
+        a plausible multi-word Latin label ('tozoler per povisna:'). None
+        when the token touching the colon isn't a clean word (a '12:30'
+        time or 'user@host:' value must not split)."""
+        j = p2
+        start = None
+        while j > v0:
+            k = txt.rfind(" ", v0, j)
+            tok = txt[k + 1:j].strip()
+            if not (tok.isalpha() and len(tok) >= 2):
+                break
+            start = k + 1 if k >= v0 else v0
+            j = k
+            while j > v0 and txt[j - 1] == " ":
+                j -= 1
+        return start
+
     split_spans: list[tuple[str, int, int]] = []
     for kind, a, b in merged:
         txt = tokens_text[a:b]
         p = txt.find(":")
+        # Latin spans split ONLY on the multi-colon row-merge signature
+        # (>=2 label colons in one key span — diag doc-15 family: det glues
+        # 'K1: V1 K2: V2' into one span and both fields die); a single-colon
+        # Latin span stays with the trained model (round-3 measured: the
+        # model is authoritative on in-distribution Latin).
+        multi_latin = kind == "key" and txt.count(":") >= 2
         if not (kind == "key" and 0 < p < len(txt) - 1
-                and txt[p + 1:].strip() and _deva_key_colon(txt, 0, p)):
+                and txt[p + 1:].strip()
+                and (_deva_key_colon(txt, 0, p) or multi_latin)):
             split_spans.append((kind, a, b))
             continue
         # LOOPED split (ADVICE r3): a det row-merge can pool SEVERAL inline
         # fields ('क: 1 ख: 2') into one key span; splitting only at the
         # first colon leaves the second field's key inside the first value.
-        # After each key:value cut, scan the remainder for another
-        # deva-majority token ending in ':' — that token starts the next key.
+        # After each key:value cut, scan the remainder for another label
+        # ending in ':' — deva-majority token, or (multi-colon spans) a run
+        # of alphabetic words — that label starts the next key.
         while True:
             split_spans.append(("key", a, a + p + 1))
             v0 = p + 1
@@ -338,6 +364,10 @@ def decode_tags(
                     s2 -= 1
                 if s2 > v0 and _deva_key_colon(txt, s2, p2):
                     nxt = (s2, p2)
+                elif multi_latin:
+                    s2l = _latin_label_start(txt, v0, p2)
+                    if s2l is not None and s2l > v0:
+                        nxt = (s2l, p2)
                 i = p2 + 1
             if nxt is None:
                 if txt[v0:].strip():

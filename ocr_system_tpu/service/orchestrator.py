@@ -262,17 +262,13 @@ class ExtractionOrchestrator:
             ]
             if hand:
                 # a KEYWORD-labeled squiggle ('Signature:' + pen stroke)
-                # OVERRIDES the extractor's pair for the same label:
-                # squiggle-region words are suppressed before extraction
-                # (engine/pipeline._finish_page), so an extractor value under
-                # a signature label is usually misassigned neighboring text.
-                # Exception (ADVICE r3): when the surviving extractor value
-                # reads as clean printed text, it may be a real printed
-                # name/date under the label — keep it. A nearest-label guess
-                # (keyword_label=False) only fills a missing field —
-                # overriding on a guessed label measurably destroyed true
-                # fields on Devanagari forms.
-                from ocr_system_tpu.engine.handwriting import _is_clean_text
+                # OVERRIDES the extractor's pair for the same label when
+                # the shared squiggle_overrides policy says so (one policy
+                # for serving and both eval paths — engine/handwriting.py
+                # documents the keyword/clean-text/adjacency gates).
+                from ocr_system_tpu.engine.handwriting import (
+                    squiggle_overrides,
+                )
 
                 existing = {
                     f.field_key.lower(): f
@@ -283,11 +279,8 @@ class ExtractionOrchestrator:
                     hand, ocr.combined_layout_boxes
                 ):
                     cur = existing.get(sf["field_key"].lower())
-                    if cur is not None and (
-                        not sf.get("keyword_label")
-                        or _is_clean_text(
-                            cur.field_value, float(cur.confidence or 1.0)
-                        )
+                    if cur is not None and not squiggle_overrides(
+                        sf, cur.field_value, float(cur.confidence or 1.0)
                     ):
                         continue
                     state.extract_result.fields = [

@@ -302,8 +302,8 @@ def evaluate_form_extraction(
     tp = fp = fn = 0
     form_type_hits = 0
     from ocr_system_tpu.engine.handwriting import (
-        _is_clean_text,
         handwriting_to_fields,
+        squiggle_overrides,
     )
 
     for _ in range(n_docs):
@@ -316,27 +316,30 @@ def evaluate_form_extraction(
             )
         else:
             result = extractor.extract(text)
+        # truth keys are the NOISY OCR readings by design (the extractor is
+        # scored on recovering what OCR produced) — but the extractor now
+        # snaps keys of KNOWN families onto the canonical lexicon
+        # (extract/postfix.snap_key), so truth must accept the same snap or
+        # the eval punishes a correct canonicalization
+        from ocr_system_tpu.extract.postfix import FORM_KEY_LEXICON, snap_key
+
+        lex = FORM_KEY_LEXICON.get(spec.form_type, [])
         truth = {
-            _norm_key(k): _norm_val(v) for k, v, _ in spec.pairs if v.strip()
+            _norm_key(snap_key(k, lex)): _norm_val(v)
+            for k, v, _ in spec.pairs if v.strip()
         }
         got = {
             _norm_key(f.field_key): _norm_val(f.field_value)
             for f in result.fields
             if f.field_key.strip() and f.field_value.strip()
         }
-        # pixel path (mirrors service/orchestrator's keyword-gated merge,
-        # ADVICE r3 eval/serving drift): a KEYWORD-labeled squiggle
-        # overrides the extractor's pair unless the extractor value reads
-        # as clean printed text; a nearest-label guess only fills a gap
+        # pixel path: the SHARED squiggle_overrides policy (serving and
+        # both eval paths use the same function — ADVICE r3 drift fix)
         hand = [b for b in word_boxes if b.get("type") == "handwriting"]
         for sf in handwriting_to_fields(hand, word_boxes):
             k = _norm_key(sf["field_key"])
-            if sf.get("keyword_label") and not (
-                got.get(k) and _is_clean_text(got[k], 1.0)
-            ):
+            if squiggle_overrides(sf, got.get(k)):
                 got[k] = _norm_val(sf["field_value"])
-            else:
-                got.setdefault(k, _norm_val(sf["field_value"]))
         for k, v in got.items():
             if truth.get(k) == v:
                 tp += 1
@@ -414,14 +417,10 @@ def evaluate_form_extraction_e2e(
             b for b in out.layout_boxes if b.get("type") == "handwriting"
         ]
         for sf in handwriting_to_fields(hand, out.layout_boxes):
-            # mirrors the orchestrator's merge: a keyword-labeled squiggle
-            # overrides a misassigned extractor value; a nearest-label guess
-            # only fills a missing key
+            # the SHARED squiggle_overrides merge policy (same as serving)
             k = _norm_key(sf["field_key"])
-            if sf.get("keyword_label"):
+            if squiggle_overrides(sf, got.get(k)):
                 got[k] = _norm_val(sf["field_value"])
-            else:
-                got.setdefault(k, _norm_val(sf["field_value"]))
         truth = {
             _norm_key(k): _norm_val(v)
             # a pair whose element render_spec skipped (off-page) is

@@ -33,7 +33,10 @@ def main() -> None:
     import numpy as np
 
     from ocr_system_tpu.core.config import Settings
-    from ocr_system_tpu.engine.handwriting import handwriting_to_fields
+    from ocr_system_tpu.engine.handwriting import (
+        handwriting_to_fields,
+        squiggle_overrides,
+    )
     from ocr_system_tpu.engine.hybrid_detector import HybridDetector
     from ocr_system_tpu.engine.pipeline import JaxOCREngine
     from ocr_system_tpu.engine.preprocess import PageImage
@@ -74,10 +77,8 @@ def main() -> None:
         hand = [b for b in out.layout_boxes if b.get("type") == "handwriting"]
         for sf in handwriting_to_fields(hand, out.layout_boxes):
             k = _norm_key(sf["field_key"])
-            if sf.get("keyword_label"):
+            if squiggle_overrides(sf, got.get(k)):
                 got[k] = _norm_val(sf["field_value"])
-            else:
-                got.setdefault(k, _norm_val(sf["field_value"]))
         truth = {
             _norm_key(k): _norm_val(v)
             for i, (k, v, _) in enumerate(spec.pairs)

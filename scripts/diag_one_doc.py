@@ -78,7 +78,7 @@ def main() -> None:
     print("--- handwriting_to_fields")
     for sf in handwriting_to_fields(hand, out.layout_boxes):
         print(f"  {sf['field_key']!r} -> {sf['field_value']!r} "
-              f"kw={sf.get('keyword_label')}")
+              f"kw={sf.get('keyword_label')} gap={sf.get('label_gap')}")
     result = lm.extract_from_layout(words, (960, 960), ocr_text=out.markdown)
     print("--- extractor fields")
     for f in result.fields:

@@ -8,6 +8,7 @@ import pytest
 from ocr_system_tpu.engine.handwriting import (
     detect_handwriting,
     handwriting_to_fields,
+    squiggle_overrides,
 )
 from ocr_system_tpu.training import synth_forms as SF
 
@@ -174,6 +175,47 @@ class TestFields:
 
         r = ValidationService().validate_field("signed", "signature", 0.8)
         assert r.is_valid
+
+    def test_nearest_label_carries_gap(self):
+        hand = [{
+            "type": "handwriting", "content": "", "confidence": 0.8,
+            "polygon": [100.0, 100.0, 300.0, 100.0,
+                        300.0, 140.0, 100.0, 140.0],
+            "page_number": 1,
+        }]
+        words = [{
+            "type": "word", "content": "Comments", "confidence": 0.9,
+            "polygon": [20.0, 105.0, 90.0, 105.0, 90.0, 130.0, 20.0, 130.0],
+            "page_number": 1,
+        }]
+        f = handwriting_to_fields(hand, words)[0]
+        # gap 10 px / label height 25 px = 0.4 label heights
+        assert f["label_gap"] == pytest.approx(0.4, abs=0.05)
+
+
+class TestSquiggleOverrides:
+    """The ONE merge policy shared by serving and both eval paths."""
+
+    def test_fills_missing(self):
+        assert squiggle_overrides({"keyword_label": False}, None)
+        assert squiggle_overrides({"keyword_label": True}, "  ")
+
+    def test_keyword_overrides_soup_keeps_clean(self):
+        kw = {"keyword_label": True}
+        assert squiggle_overrides(kw, "xq#@!z", 0.3)   # soup: override
+        assert not squiggle_overrides(kw, "John Smith", 0.95)  # clean: keep
+
+    def test_adjacent_guess_overrides(self):
+        # squiggle glued to its label: geometry beats the extractor's
+        # distant misassignment (diag r4 'window: Tizolu' family)
+        sf = {"keyword_label": False, "label_gap": 0.4}
+        assert squiggle_overrides(sf, "Tizolu", 0.9)
+
+    def test_distant_guess_only_fills(self):
+        sf = {"keyword_label": False, "label_gap": 3.2}
+        assert not squiggle_overrides(sf, "Real Printed Value", 0.9)
+        # and a guess with no gap info behaves like the old fill-only rule
+        assert not squiggle_overrides({"keyword_label": False}, "x y z", 0.9)
 
 
 class TestEvalIntegration:
