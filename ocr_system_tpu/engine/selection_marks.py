@@ -34,20 +34,26 @@ CHECKED_MIN_FILL = 0.12  # interior ink fraction that means "selected"
 
 
 def _ink_mask(page: np.ndarray) -> np.ndarray:
-    gray = page if page.ndim == 2 else (
-        0.299 * page[..., 0] + 0.587 * page[..., 1] + 0.114 * page[..., 2]
-    ).astype(np.uint8)
     try:
         import cv2
-
+    except ImportError:
+        cv2 = None
+    if page.ndim == 2:
+        gray = page
+    elif cv2 is not None:
+        gray = cv2.cvtColor(page, cv2.COLOR_RGB2GRAY)  # SIMD, no f64 temps
+    else:
+        gray = (
+            0.299 * page[..., 0] + 0.587 * page[..., 1] + 0.114 * page[..., 2]
+        ).astype(np.uint8)
+    if cv2 is not None:
         thresh = cv2.adaptiveThreshold(
-            gray.astype(np.uint8), 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
-            cv2.THRESH_BINARY_INV, 31, 15,
+            np.ascontiguousarray(gray, np.uint8), 255,
+            cv2.ADAPTIVE_THRESH_GAUSSIAN_C, cv2.THRESH_BINARY_INV, 31, 15,
         )
         return (thresh > 0).astype(np.uint8)
-    except ImportError:
-        t = gray.mean() - gray.std()
-        return (gray < t).astype(np.uint8)
+    t = gray.mean() - gray.std()
+    return (gray < t).astype(np.uint8)
 
 
 def _components(mask: np.ndarray):
