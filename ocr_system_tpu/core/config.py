@@ -213,6 +213,11 @@ class Settings(BaseModel):
     # checkpoints/rec_devanagari when that directory exists
     rec_checkpoint_devanagari: str = ""
     extract_checkpoint: str = ""
+    # layout-extractor architecture — MUST match the checkpoint being
+    # loaded (orbax restore fails loudly on a shape mismatch, by design);
+    # the scaled 2x extractor serves with extract_dim=512 extract_depth=8
+    extract_dim: int = 256
+    extract_depth: int = 6
 
     # ---- computed path properties (reference: config.py:111-148 auto-create) ----
     @property

@@ -465,6 +465,8 @@ class LayoutModelExtractor:
             seq_parallel = False
         self.model = LayoutExtractor(
             vocab_size=self.charset.size,
+            dim=self.settings.extract_dim,
+            depth=self.settings.extract_depth,
             policy=policy,
             max_len=self.max_len,
             sequence_parallel=seq_parallel,

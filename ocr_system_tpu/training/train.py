@@ -440,7 +440,7 @@ def init_layout_state_sharded(
 def layout_batch_iterator(
     charset: Charset, batch_size: int, max_len: int = 512,
     page_size: int = 960, seed: int = 0, noise_rate: float = 0.03,
-    pos_span: int = 2048,
+    pos_span: int = 2048, deva_fraction: float | None = None,
 ) -> Iterator[dict]:
     """Form-spec batches for the layout extractor: structured synthetic
     forms (training/synth_forms.py) tokenized directly — no pixel rendering,
@@ -452,7 +452,10 @@ def layout_batch_iterator(
 
     from ocr_system_tpu.training import synth_forms as SF
 
-    gen = SF.FormGenerator(seed=seed)
+    gen = (
+        SF.FormGenerator(seed=seed) if deva_fraction is None
+        else SF.FormGenerator(seed=seed, deva_fraction=deva_fraction)
+    )
     rng = _random.Random(seed + 1)
     max_off = max(pos_span - max_len, 0)
     while True:
@@ -606,6 +609,9 @@ def train_layout(
     log_every: int = 50,
     seed: int = 0,
     state: TrainState | None = None,
+    dim: int = 256,
+    depth: int = 6,
+    deva_fraction: float | None = None,
 ) -> tuple[TrainState, dict]:
     """Train the layout extractor (the local Gemini replacement,
     gemini_service.py:235-364) on streamed synthetic form specs."""
@@ -613,7 +619,8 @@ def train_layout(
 
     charset = get_charset(charset_name)
     model = LayoutExtractor(
-        vocab_size=charset.size, policy=policy or default_policy()
+        vocab_size=charset.size, dim=dim, depth=depth,
+        policy=policy or default_policy(),
     )
     if mesh is None:
         from ocr_system_tpu.core.mesh import build_mesh
@@ -633,6 +640,7 @@ def train_layout(
     it = layout_batch_iterator(
         charset, batch_size, max_len=max_len, page_size=page_size,
         seed=seed, noise_rate=noise_rate, pos_span=model.max_len,
+        deva_fraction=deva_fraction,
     )
     losses, accs = [], []  # device scalars (see train_detector note)
     t0 = time.time()

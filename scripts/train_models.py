@@ -167,6 +167,9 @@ def train_layout(args) -> None:
         lr=args.lr,
         seed=args.seed,
         state=state,
+        dim=getattr(args, "dim", 256),
+        depth=getattr(args, "depth", 6),
+        deva_fraction=getattr(args, "deva_fraction", None),
     )
     logger.info("layout metrics: %s", metrics)
     out = Path(args.out or "checkpoints/extract")
@@ -189,6 +192,10 @@ def main() -> None:
     p.add_argument("--det-size", type=int, default=640)
     p.add_argument("--forms-fraction", type=float, default=0.5,
                    help="fraction of det training pages that are forms")
+    p.add_argument("--dim", type=int, default=256,
+                   help="layout extractor width (512 = the 2x model)")
+    p.add_argument("--depth", type=int, default=6,
+                   help="layout extractor depth (8 = the 2x model)")
     p.add_argument("--deva-fraction", type=float, default=0.0,
                    help="fraction of det training pages in Devanagari "
                         "(pixel diversity: Latin-only det emits rotated "
