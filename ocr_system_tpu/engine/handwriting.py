@@ -208,7 +208,10 @@ def detect_handwriting(
 
 
 def squiggle_overrides(
-    sf: dict, existing_value: str | None, existing_conf: float = 1.0
+    sf: dict,
+    existing_value: str | None,
+    existing_conf: float = 1.0,
+    other_keys: set[str] | frozenset[str] = frozenset(),
 ) -> bool:
     """Merge policy for a squiggle field vs an extractor pair on the same
     key — the ONE decision shared by serving (orchestrator) and both eval
@@ -219,17 +222,28 @@ def squiggle_overrides(
       reads as clean printed text (a real printed name/date under the
       label survives — ADVICE r3).
     - nearest-label guess: override only when the squiggle is glued to its
-      label (label_gap <= 1.5 label heights; nothing printed fits between,
-      so the extractor's same-key value must be misassigned distant text —
-      diag r4 'window: Tizolu' family). Unconditional override here was
-      measured in r3 to destroy true Devanagari fields; the adjacency gate
-      is what makes it safe.
+      label (label_gap <= 1.5 label heights) AND the existing value is
+      either soup or a fragment of ANOTHER extracted key (the extractor
+      stole the next label's words — diag r4 'window: Tizolu' family). A
+      genuine printed value never matches a neighboring key, so it
+      survives even when handwriting detection false-positives next to
+      its label (diag r4 doc 9: a matra cluster adjacent to a label whose
+      true value '314540' sat farther right). Unconditional override was
+      measured in r3 to destroy true Devanagari fields.
     """
     if existing_value is None or not existing_value.strip():
         return True
     if sf.get("keyword_label"):
         return not _is_clean_text(existing_value, existing_conf)
-    return float(sf.get("label_gap", 99.0)) <= 1.5
+    if float(sf.get("label_gap", 99.0)) > 1.5:
+        return False
+    if not _is_clean_text(existing_value, existing_conf):
+        return True
+    v = " ".join(existing_value.lower().split())
+    own = " ".join(str(sf.get("field_key", "")).lower().split())
+    return any(
+        k != own and (v in k or k in v) for k in other_keys if k.strip()
+    )
 
 
 def handwriting_to_fields(

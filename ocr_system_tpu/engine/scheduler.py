@@ -94,7 +94,11 @@ class PageScheduler:
             # grow device memory with document length. Futures are dropped
             # as soon as rec consumes them so the canvases free promptly.
             PREFETCH = 2
-            with ThreadPoolExecutor(1, thread_name_prefix="det") as det_pool:
+            # two det workers: a det wave is ~half wire/device (GIL-free —
+            # upload, forward, prob fetch) and ~half host numpy; with two
+            # waves in flight the wire/device half of wave N+2 overlaps the
+            # host half of wave N+1 while rec runs wave N on the main thread
+            with ThreadPoolExecutor(2, thread_name_prefix="det") as det_pool:
                 det_futs: list = [None] * len(waves)
                 for k in range(min(PREFETCH, len(waves))):
                     det_futs[k] = det_pool.submit(

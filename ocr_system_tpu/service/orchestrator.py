@@ -275,12 +275,18 @@ class ExtractionOrchestrator:
                     for f in state.extract_result.fields
                     if f.field_value.strip()
                 }
+                all_keys = {
+                    f.field_key.lower()
+                    for f in state.extract_result.fields
+                    if f.field_key.strip()
+                }
                 for sf in handwriting_to_fields(
                     hand, ocr.combined_layout_boxes
                 ):
                     cur = existing.get(sf["field_key"].lower())
                     if cur is not None and not squiggle_overrides(
-                        sf, cur.field_value, float(cur.confidence or 1.0)
+                        sf, cur.field_value, float(cur.confidence or 1.0),
+                        other_keys=all_keys,
                     ):
                         continue
                     state.extract_result.fields = [

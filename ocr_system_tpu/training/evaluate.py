@@ -338,7 +338,7 @@ def evaluate_form_extraction(
         hand = [b for b in word_boxes if b.get("type") == "handwriting"]
         for sf in handwriting_to_fields(hand, word_boxes):
             k = _norm_key(sf["field_key"])
-            if squiggle_overrides(sf, got.get(k)):
+            if squiggle_overrides(sf, got.get(k), other_keys=set(got)):
                 got[k] = _norm_val(sf["field_value"])
         for k, v in got.items():
             if truth.get(k) == v:
@@ -390,7 +390,10 @@ def evaluate_form_extraction_e2e(
     """
     import numpy as np
 
-    from ocr_system_tpu.engine.handwriting import handwriting_to_fields
+    from ocr_system_tpu.engine.handwriting import (
+        handwriting_to_fields,
+        squiggle_overrides,
+    )
     from ocr_system_tpu.engine.preprocess import PageImage
     from ocr_system_tpu.training import synth_forms as SF
 
@@ -419,7 +422,7 @@ def evaluate_form_extraction_e2e(
         for sf in handwriting_to_fields(hand, out.layout_boxes):
             # the SHARED squiggle_overrides merge policy (same as serving)
             k = _norm_key(sf["field_key"])
-            if squiggle_overrides(sf, got.get(k)):
+            if squiggle_overrides(sf, got.get(k), other_keys=set(got)):
                 got[k] = _norm_val(sf["field_value"])
         truth = {
             _norm_key(k): _norm_val(v)
@@ -484,7 +487,10 @@ def evaluate_signature_detection(
     The reference gets this from Gemini seeing the page pixels."""
     import numpy as np
 
-    from ocr_system_tpu.engine.handwriting import handwriting_to_fields
+    from ocr_system_tpu.engine.handwriting import (
+        handwriting_to_fields,
+        squiggle_overrides,
+    )
     from ocr_system_tpu.engine.preprocess import PageImage
     from ocr_system_tpu.training import synth_forms as SF
 

@@ -77,7 +77,7 @@ def main() -> None:
         hand = [b for b in out.layout_boxes if b.get("type") == "handwriting"]
         for sf in handwriting_to_fields(hand, out.layout_boxes):
             k = _norm_key(sf["field_key"])
-            if squiggle_overrides(sf, got.get(k)):
+            if squiggle_overrides(sf, got.get(k), other_keys=set(got)):
                 got[k] = _norm_val(sf["field_value"])
         truth = {
             _norm_key(k): _norm_val(v)

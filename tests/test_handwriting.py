@@ -205,11 +205,26 @@ class TestSquiggleOverrides:
         assert squiggle_overrides(kw, "xq#@!z", 0.3)   # soup: override
         assert not squiggle_overrides(kw, "John Smith", 0.95)  # clean: keep
 
-    def test_adjacent_guess_overrides(self):
-        # squiggle glued to its label: geometry beats the extractor's
-        # distant misassignment (diag r4 'window: Tizolu' family)
-        sf = {"keyword_label": False, "label_gap": 0.4}
-        assert squiggle_overrides(sf, "Tizolu", 0.9)
+    def test_adjacent_guess_overrides_stolen_key(self):
+        # squiggle glued to its label AND the existing value is a fragment
+        # of another extracted key: the extractor stole the next label's
+        # words (diag r4 'window: Tizolu' family)
+        sf = {"keyword_label": False, "label_gap": 0.4, "field_key": "window"}
+        keys = {"window", "tizolu owner lerbaler"}
+        assert squiggle_overrides(sf, "Tizolu", 0.9, other_keys=keys)
+
+    def test_adjacent_guess_keeps_genuine_value(self):
+        # adjacency alone is NOT enough: handwriting detection can
+        # false-positive next to a label whose true printed value sits
+        # farther right (diag r4 doc 9 '314540')
+        sf = {"keyword_label": False, "label_gap": 0.4, "field_key": "ref"}
+        assert not squiggle_overrides(
+            sf, "314540", 0.9, other_keys={"ref", "other key"}
+        )
+
+    def test_adjacent_guess_overrides_soup(self):
+        sf = {"keyword_label": False, "label_gap": 0.4, "field_key": "k"}
+        assert squiggle_overrides(sf, "xq#@!z", 0.3, other_keys={"k"})
 
     def test_distant_guess_only_fills(self):
         sf = {"keyword_label": False, "label_gap": 3.2}
