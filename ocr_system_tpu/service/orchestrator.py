@@ -141,7 +141,8 @@ class ExtractionOrchestrator:
         self._log(state.document_id, "ocr", "started", extraction_id=state.extraction_id)
 
         def run():
-            data = open(state.file_path, "rb").read()
+            with open(state.file_path, "rb") as f:
+                data = f.read()
             result = self.engine.process_document(data, state.filename)
             if not result.success:
                 raise RuntimeError(result.error or "OCR failed")
