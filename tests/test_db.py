@@ -184,3 +184,78 @@ class TestTemplatesAndLogs:
         stats = repos.logs.step_stats()
         ocr_ok = next(r for r in stats if r["step"] == "ocr" and r["status"] == "completed")
         assert ocr_ok["c"] == 1 and ocr_ok["av"] == 120
+
+
+class TestConcurrentWrites:
+    """SQLite serving story (deliberate Postgres substitution, PARITY.md):
+    WAL + busy_timeout=30s + thread-local connections must survive
+    concurrent writers — the pattern multi-threaded serving actually
+    produces (uploads inserting documents while the orchestrator writes
+    extractions and logs). Documents the single-writer-at-a-time
+    constraint: writes serialize, none may fail."""
+
+    def test_concurrent_uploads_one_database(self, tmp_path):
+        import threading
+
+        from ocr_system_tpu.db.connection import Database
+        from ocr_system_tpu.db.crud import Repositories
+
+        db = Database(tmp_path / "conc.db")
+        repos = Repositories(db)
+        N_THREADS, PER = 8, 12
+        errors: list[Exception] = []
+
+        def worker(t):
+            try:
+                for i in range(PER):
+                    d = _doc(repos, name=f"t{t}_{i}.png")
+                    e = repos.extractions.create_new_version(
+                        d["id"], status="processing"
+                    )
+                    repos.logs.log_step(d["id"], "ocr", "completed",
+                                        duration_ms=5)
+                    repos.extractions.update(e["id"], status="completed")
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=worker, args=(t,))
+                   for t in range(N_THREADS)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors[:3]
+        assert repos.documents.list()[1] == N_THREADS * PER
+        db.close()
+
+    def test_concurrent_writers_separate_connections(self, tmp_path):
+        """Multi-worker shape: several Database objects (own connection
+        pools) on the SAME file, writing simultaneously — busy_timeout
+        must absorb the lock contention."""
+        import threading
+
+        from ocr_system_tpu.db.connection import Database
+        from ocr_system_tpu.db.crud import Repositories
+
+        path = tmp_path / "multi.db"
+        Database(path).close()  # create schema once
+        N_PROCLIKE, PER = 4, 10
+        errors: list[Exception] = []
+
+        def worker(w):
+            try:
+                repos = Repositories(Database(path))
+                for i in range(PER):
+                    _doc(repos, name=f"w{w}_{i}.png")
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=worker, args=(w,))
+                   for w in range(N_PROCLIKE)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors[:3]
+        repos = Repositories(Database(path))
+        assert repos.documents.list()[1] == N_PROCLIKE * PER
