@@ -100,7 +100,12 @@ def _span_pair_cost(kb: np.ndarray, vb: np.ndarray) -> float:
     x_overlap = min(kb[2], vb[2]) - max(kb[0], vb[0])
     if x_overlap > 0 and kb[3] <= vb[1] + 0.5 * vh:
         gap = max(float(vb[1] - kb[3]), 0.0)
-        return 1.5 * gap + 0.2 * abs(float(kb[0] - vb[0])) + 1.0
+        # below-pair base penalty ~ one label height in quantized units:
+        # the old +1.0 let 'key above-left' (46) beat a same-row value 53
+        # units to the right (diag r4 doc 7: 'Ciase' stole the next row's
+        # address while 'required' sat beside it) — same-row is the
+        # canonical form layout and must win unless it is genuinely far
+        return 1.5 * gap + 0.2 * abs(float(kb[0] - vb[0])) + 25.0
     return float("inf")
 
 
