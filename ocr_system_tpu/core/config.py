@@ -116,6 +116,11 @@ class Settings(BaseModel):
     # Hindi 5.1% vs 7.4% — the wire-sim-trained models prefer it) and the
     # page upload is the serving throughput ceiling on remote links.
     det_wire_bits: int = 4
+    # prob-map DOWNLOAD format: 8 = stride-2 uint8, 4 = two 16-level pixels
+    # per byte (halves the per-wave fetch, the largest remaining det wire
+    # cost after the 4-bit upload). Box scores quantize to 1/16 — measured
+    # e2e-equivalent (gate: e2e sweep row unchanged)
+    det_prob_wire_bits: int = 4
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     det_image_buckets: tuple[int, ...] = (640, 960, 1280)

@@ -163,8 +163,16 @@ class Detector:
                 ) / (PROB_STRIDE * PROB_STRIDE)
                 # uint8 on the wire: 4x fewer bytes AND the tunnel compresses
                 # the mostly-flat map well (f32 fetch measured 370 ms/wave,
-                # u8 ~180 ms); bin/box thresholds keep full fidelity at 1/255
-                prob_u8 = (prob_ds * 255.0 + 0.5).astype(jnp.uint8)
+                # u8 ~180 ms); bin/box thresholds keep full fidelity at 1/255.
+                # det_prob_wire_bits=4 packs two 16-level pixels per byte
+                # (halves the fetch again; scores quantize to 1/16)
+                if s.det_prob_wire_bits == 4:
+                    p4 = (prob_ds * 15.0 + 0.5).astype(jnp.uint8)
+                    prob_u8 = (
+                        p4[:, :, 0::2] << 4 | p4[:, :, 1::2]
+                    ).astype(jnp.uint8)
+                else:
+                    prob_u8 = (prob_ds * 255.0 + 0.5).astype(jnp.uint8)
                 # gray_u8 stays ON DEVICE as the rec stage's crop source
                 # (canvas reuse) — it never crosses the wire
                 return prob_u8, angles, gray_u8
@@ -240,7 +248,15 @@ class Detector:
                 prob = prob[:n_real]
             t = _tick("deskew_repass", t)
 
-            prob = np.asarray(prob).astype(np.float32) / 255.0
+            prob = np.asarray(prob)
+            if s.det_prob_wire_bits == 4:
+                hi = (prob >> 4).astype(np.float32)
+                lo = (prob & 15).astype(np.float32)
+                prob = np.stack([hi, lo], axis=-1).reshape(
+                    prob.shape[0], prob.shape[1], -1
+                ) / 15.0
+            else:
+                prob = prob.astype(np.float32) / 255.0
             t = _tick("fetch_prob", t)
             t_boxes = 0.0
             t_ink = 0.0
