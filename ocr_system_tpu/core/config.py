@@ -219,10 +219,13 @@ class Settings(BaseModel):
     rec_checkpoint_devanagari: str = ""
     extract_checkpoint: str = ""
     # layout-extractor architecture — MUST match the checkpoint being
-    # loaded (orbax restore fails loudly on a shape mismatch, by design);
-    # the scaled 2x extractor serves with extract_dim=512 extract_depth=8
-    extract_dim: int = 256
-    extract_depth: int = 6
+    # loaded (orbax restore fails loudly on a shape mismatch, by design).
+    # Defaults match the committed checkpoints/extract (the r4 2x model:
+    # beats the 256x6 on every slice — held-out 0.8458->0.8832, deva
+    # 0.757->0.830, forms_e2e exact 0.661->0.704 — resolving the r3
+    # capacity ceiling that forced deva content out of training)
+    extract_dim: int = 512
+    extract_depth: int = 8
 
     # ---- computed path properties (reference: config.py:111-148 auto-create) ----
     @property

@@ -51,8 +51,8 @@ def evaluate(ckpt: str, dim: int, depth: int, forms: int) -> dict:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--a", default="checkpoints/extract")
-    p.add_argument("--a-dim", type=int, default=256)
-    p.add_argument("--a-depth", type=int, default=6)
+    p.add_argument("--a-dim", type=int, default=512)
+    p.add_argument("--a-depth", type=int, default=8)
     p.add_argument("--b", default="checkpoints/extract_2x")
     p.add_argument("--b-dim", type=int, default=512)
     p.add_argument("--b-depth", type=int, default=8)
