@@ -342,7 +342,7 @@ def handwriting_to_fields(
             n_digits = sum(c.isdigit() for c in txt)
             if n_digits > 0.4 * max(len(txt.replace(" ", "")), 1):
                 continue
-            if len(txt.split()) > 5:
+            if len(txt.split()) > 5 or "@" in txt:
                 continue
             # (measured, rejected: also skipping labels with any printed
             # same-row right neighbor — multi-word labels get skipped and
