@@ -482,26 +482,55 @@ class FormGenerator:
         # style for all fields
         locked_style = r.random() if r.random() < 0.5 else None
 
+        def em_value_below(value, x, cy, ftype, pid, indent):
+            """Value on the row below its key, COLUMN-aware: a value wider
+            than its column would otherwise collide with the next column's
+            text — det then reads one glued blob ('mary novakbiood:type')
+            and BOTH fields die. Right-align when it fits the column at
+            all; place deliberately off-page when it cannot (render drops
+            it, dropped_pair_ids excludes the pair from truth)."""
+            vw = len(value) * char_w * fs
+            vx = x + indent
+            vy = cy + int(fs * 1.4)
+            col_end = x + col_w
+            if vx + vw > col_end:
+                vx = col_end - vw if vw <= col_w else size + 8
+            em(value, max(vx, 0) if vx <= size else vx, vy, fs,
+               "value", ftype, pid)
+            return vy
+
         for slot, (key, ftype) in enumerate(chosen):
             value = (_VALUE_GEN_DEVA if deva else _VALUE_GEN)[ftype](r)
             col = slot % len(cols_y)
             x = margin + col * (col_w + 30)
+            col_end = x + col_w
             cy = cols_y[col]
             if cy > size - margin - 3 * fs:
                 continue  # page full
             pid = len(pairs)  # pair_id == index into spec.pairs
             style = locked_style if locked_style is not None else r.random()
             if style < 0.30:
-                # inline "Key: Value" in one box
-                em(f"{key}: {value}", x, cy, fs, "kv", ftype, pid)
-                cols_y[col] = cy + fs + row_gap
+                # inline "Key: Value" in one box — unless it overflows the
+                # column (cross-column collision): then key inline, value
+                # wrapped below
+                text = f"{key}: {value}"
+                if x + len(text) * char_w * fs <= col_end:
+                    em(text, x, cy, fs, "kv", ftype, pid)
+                    cols_y[col] = cy + fs + row_gap
+                else:
+                    em(f"{key}:", x, cy, fs, "key", ftype, pid)
+                    vy = em_value_below(value, x, cy, ftype, pid,
+                                        r.randint(0, fs))
+                    cols_y[col] = vy + fs + row_gap
             elif style < 0.60:
                 # key box + value box on the same row (the rules-hard case)
                 ktext = key + (":" if r.random() < self.colon_fraction else "")
                 ke = em(ktext, x, cy, fs, "key", ftype, pid)
                 gap = r.randint(int(fs * 0.8), int(fs * 4))
                 vw = len(value) * char_w * fs
-                vx = min(ke.x1 + gap, size - margin - vw)
+                # clamp to the COLUMN, not the page: a col-1 value drawn
+                # into col 2's x-range glued two fields for det
+                vx = min(ke.x1 + gap, col_end - vw)
                 if vx < ke.x1 + 4:
                     # value can't fit on the row (narrow column + long
                     # value): wrap below the key like real forms do. The
@@ -509,9 +538,8 @@ class FormGenerator:
                     # render skipped it but the pair stayed in truth, so
                     # eval demanded text that was never drawn (doc-8 class
                     # MISSING losses in diag_extract_pipeline)
-                    vy = cy + int(fs * 1.4)
-                    em(value, x + r.randint(0, fs), vy, fs,
-                       "value", ftype, pid)
+                    vy = em_value_below(value, x, cy, ftype, pid,
+                                        r.randint(0, fs))
                     cols_y[col] = vy + fs + row_gap
                 else:
                     em(value, vx, cy, fs, "value", ftype, pid)
@@ -520,8 +548,8 @@ class FormGenerator:
                 # key above, value below
                 ktext = key + (":" if r.random() < self.colon_fraction else "")
                 em(ktext, x, cy, fs, "key", ftype, pid)
-                vy = cy + int(fs * 1.4)
-                em(value, x + r.randint(0, fs), vy, fs, "value", ftype, pid)
+                vy = em_value_below(value, x, cy, ftype, pid,
+                                    r.randint(0, fs))
                 cols_y[col] = vy + fs + row_gap
             elif style < 0.86:
                 # tab-stop: value at a fixed right column, wide separation
@@ -529,11 +557,10 @@ class FormGenerator:
                 # extractor had never seen it)
                 ke = em(key, x, cy, fs, "key", ftype, pid)
                 vx = min(x + int(col_w * r.uniform(0.55, 0.75)),
-                         size - margin - int(len(value) * char_w * fs))
+                         col_end - int(len(value) * char_w * fs))
                 if vx < ke.x1 + 4:  # clamp collided with the key: wrap below
-                    vy = cy + int(fs * 1.4)
-                    em(value, x + r.randint(0, fs), vy, fs,
-                       "value", ftype, pid)
+                    vy = em_value_below(value, x, cy, ftype, pid,
+                                        r.randint(0, fs))
                     cols_y[col] = vy + fs + row_gap
                 else:
                     em(value, vx, cy, fs, "value", ftype, pid)
@@ -542,11 +569,10 @@ class FormGenerator:
                 # dotted leader between key and value
                 ke = em(key, x, cy, fs, "key", ftype, pid)
                 vx = min(x + int(col_w * r.uniform(0.55, 0.7)),
-                         size - margin - int(len(value) * char_w * fs))
+                         col_end - int(len(value) * char_w * fs))
                 if vx < ke.x1 + 12:  # no room for dots+value: wrap below
-                    vy = cy + int(fs * 1.4)
-                    em(value, x + r.randint(0, fs), vy, fs,
-                       "value", ftype, pid)
+                    vy = em_value_below(value, x, cy, ftype, pid,
+                                        r.randint(0, fs))
                     cols_y[col] = vy + fs + row_gap
                 else:
                     n_dots = max(int((vx - ke.x1 - 8) / (char_w * fs)), 3)
@@ -556,8 +582,8 @@ class FormGenerator:
             else:
                 # ALL-CAPS bold label row, value indented below
                 em(key.upper(), x, cy, fs, "key", ftype, pid, bold=True)
-                vy = cy + int(fs * 1.45)
-                em(value, x + int(fs * 1.2), vy, fs, "value", ftype, pid)
+                vy = em_value_below(value, x, cy + int(fs * 0.05), ftype,
+                                    pid, int(fs * 1.2))
                 cols_y[col] = vy + fs + row_gap
             pairs.append((key, value, ftype))
 

@@ -180,6 +180,26 @@ class TestRender:
             f"{dropped}/{total} pairs dropped — overflow wrap regressed"
         )
 
+    def test_no_cross_pair_collisions(self):
+        """KV elements from DIFFERENT pairs must not overlap (a col-1
+        value drawn into col-2's label made det read one glued blob —
+        'mary novakbiood:type' — killing BOTH fields, diag r4 seed 6260)."""
+        for seed in (77, 123, 6260):
+            gen = SF.FormGenerator(seed=seed)
+            for _ in range(25):
+                spec = gen.generate(960)
+                kv = [e for e in spec.elements
+                      if e.pair_id >= 0 and e.x1 <= 960 and e.y1 <= 960]
+                for i, a in enumerate(kv):
+                    for b in kv[i + 1:]:
+                        if a.pair_id == b.pair_id:
+                            continue
+                        x_ov = min(a.x1, b.x1) - max(a.x0, b.x0)
+                        y_ov = min(a.y1, b.y1) - max(a.y0, b.y0)
+                        assert not (x_ov > 2 and y_ov > 2), (
+                            f"seed {seed}: {a.text!r} overlaps {b.text!r}"
+                        )
+
     def test_value_never_overlaps_key(self):
         """Tab-stop/leader clamps must not land the value on top of its
         key (overlapping ink poisons det training and makes the pair
