@@ -296,7 +296,9 @@ def handwriting_to_fields(
         if best is None:
             continue
         used.add(best)
-        key = wb["content"].strip().rstrip(":")
+        from ocr_system_tpu.extract.postfix import clean_key
+
+        key = clean_key(wb["content"])
         fields.append(
             {
                 "field_key": key,
@@ -373,7 +375,9 @@ def handwriting_to_fields(
         used.add(i)
         # label word runs often end with the key's last word; take the
         # trailing "Key:"-like text (strip a value if the run merged one)
-        key = best_wb["content"].strip().rstrip(":")
+        from ocr_system_tpu.extract.postfix import clean_key
+
+        key = clean_key(best_wb["content"])
         w_h = max(
             max(best_wb["polygon"][1::2]) - min(best_wb["polygon"][1::2]),
             1.0,

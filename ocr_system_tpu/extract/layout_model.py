@@ -187,11 +187,12 @@ def force_inline_split(
 ) -> np.ndarray:
     """Decode assist for boxes the model cannot read.
 
-    The committed checkpoint trains on Latin forms only (a 20k retrain
-    with Devanagari form content measured held-out Latin F1 0.806 vs 0.896
-    and was rejected), so Devanagari char embeddings are random and the
-    model tags a Hindi inline row like 'कुल: राखा' as one single-kind span
-    — the key swallows its value and pairing shifts down the page. The
+    Round-3 checkpoints trained on Latin forms only, leaving Devanagari
+    char embeddings random; the model tagged a Hindi inline row like
+    'कुल: राखा' as one single-kind span — the key swallowed its value and
+    pairing shifted down the page. The r4 2x checkpoint restores deva to
+    training (15%), but the structural split stays: it is measured-safe
+    and covers rec noise the model has still never seen. The
     training data labels inline rows as key-incl-colon + value
     (synth_forms emit_span), so apply that same split structurally when
     (a) the box is mostly Devanagari (outside the training distribution),
@@ -412,7 +413,7 @@ def decode_tags(
         key_of_value[vi] = ki
         used_keys.add(ki)
 
-    from ocr_system_tpu.extract.postfix import autocorrect_value
+    from ocr_system_tpu.extract.postfix import autocorrect_value, clean_key
 
     fields: list[ExtractedField] = []
     for vi, (_, text, c, ftype, _vb) in enumerate(values):
@@ -421,7 +422,7 @@ def decode_tags(
             _, ktext, kc, _, _ = keys[ki]
             fields.append(
                 ExtractedField(
-                    field_key=ktext.rstrip(":").strip(),
+                    field_key=clean_key(ktext),
                     field_value=autocorrect_value(text, ftype),
                     field_type=ftype,
                     confidence=round(min(kc, c), 4),

@@ -68,6 +68,15 @@ def _cer(a: str, b: str) -> float:
     return prev[-1] / len(a)
 
 
+def clean_key(key: str) -> str:
+    """Strip presentation artifacts from an extracted key: trailing ':'
+    and dot-leader runs ('Signature..........' labels a signature line;
+    the dots are the ruled line, not the key)."""
+    import re
+
+    return re.sub(r"[.\s]*\.{2,}[.\s]*$", "", key.rstrip(":").strip()).strip()
+
+
 def snap_key(key: str, lexicon: list[str], max_cer: float = 0.25) -> str:
     """Snap a noisy key to its unique near match in a canonical lexicon.
 

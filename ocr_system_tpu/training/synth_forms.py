@@ -507,6 +507,10 @@ class FormGenerator:
             cy = cols_y[col]
             if cy > size - margin - 3 * fs:
                 continue  # page full
+            if len(key) * char_w * fs > col_w:
+                continue  # key itself can't fit the column: skip the slot
+                # (a key drawn into the next column glues two labels for
+                # det — 'levei mokese pedine hiandler', diag r4 seed 6260)
             pid = len(pairs)  # pair_id == index into spec.pairs
             style = locked_style if locked_style is not None else r.random()
             if style < 0.30:
