@@ -6,7 +6,7 @@ import subprocess
 from pathlib import Path
 
 _SRC_DIR = Path(__file__).parent
-_SOURCES = ["cc_label.cpp"]
+_SOURCES = ["cc_label.cpp", "ink_walk.cpp"]
 _LIB_NAME = "libocrnative.so"
 
 

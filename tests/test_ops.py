@@ -274,3 +274,43 @@ class TestNative:
         assert counts[1] == 24
         assert sums[1] == pytest.approx(12.0)
         assert bb[1].tolist() == [3, 2, 8, 5]
+
+
+class TestNativeInkWalk:
+    def test_matches_python_ink_snap(self):
+        """The native batch op must be BIT-EXACT with the Python reference
+        (detector._ink_snap expand_only) — it replaces it on the serving
+        path, one GIL-free call per page."""
+        from ocr_system_tpu.engine.detector import _ink_snap
+        from ocr_system_tpu.native.ink_walk import ink_expand_batch
+
+        rng = np.random.default_rng(7)
+        gray = np.full((400, 600), 245, np.uint8)
+        # words, a full-width rule, and a vertical rule
+        for y in range(30, 360, 40):
+            x = 20
+            while x < 540:
+                w = int(rng.integers(20, 70))
+                gray[y:y + 12, x:x + w] = rng.integers(0, 60)
+                x += w + 15
+        gray[200, :] = 80        # horizontal table rule
+        gray[:, 300] = 80        # vertical rule
+        quads = np.stack([
+            np.array([[x, y], [x + 40, y], [x + 40, y + 10], [x, y + 10]],
+                     np.float32)
+            for y in range(32, 350, 40) for x in (25, 120, 320)
+        ])
+        ref = quads.copy()
+        for q in ref:
+            _ink_snap(gray, q, expand_only=True)
+        nat = quads.copy()
+        ink_expand_batch(gray, nat)
+        assert np.abs(ref - nat).max() == 0.0
+
+    def test_empty_quads(self):
+        from ocr_system_tpu.native.ink_walk import ink_expand_batch
+
+        out = ink_expand_batch(
+            np.zeros((10, 10), np.uint8), np.zeros((0, 4, 2), np.float32)
+        )
+        assert out.shape == (0, 4, 2)
