@@ -221,8 +221,8 @@ class Detector:
             packed = self._pack_wire(batch)
             t = _tick("pack", t)
             placed = self._place(packed)
-            if hasattr(placed, "block_until_ready"):
-                placed.block_until_ready()
+            if prof is not None and hasattr(placed, "block_until_ready"):
+                placed.block_until_ready()  # profiling only: isolate upload
             t = _tick("upload", t)
             prob, angles, canvas_dev = fwd(placed, self.variables)
             prob, angles = prob[:n_real], angles[:n_real]
