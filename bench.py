@@ -72,6 +72,9 @@ _best = {
     "value": 0.0,
     "unit": "pages/s",
     "vs_baseline": 0.0,
+    # host postprocess is the wall ceiling when this is 1: thread overlap
+    # can't parallelize host halves on a single core (README perf row)
+    "host_cores": os.cpu_count(),
     "link_state": "untested",
     "value_at": None,          # config of the best measurement
     "probes": {"attempted": 0, "ok": 0},
