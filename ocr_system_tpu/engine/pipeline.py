@@ -418,7 +418,10 @@ class JaxOCREngine:
         }
         if len(recs) <= 1:
             only = next(iter(recs.values())) if recs else self.recognizer
-            return self._recognize_with(only, pages, dets, quads_list)
+            res = self._recognize_with(only, pages, dets, quads_list)
+            if only is self.recognizer:
+                self._digit_glyph_rescue(pages, dets, quads_list, res)
+            return res
         empty = np.zeros((0, 4, 2), np.float32)
         out: list[list] = [[None] * len(q) for q in quads_list]
         for rid, rec in recs.items():
@@ -478,6 +481,52 @@ class JaxOCREngine:
                     alt = sub[i][k]
                     if alt is not None and alt.confidence > out[i][j].confidence:
                         out[i][j] = alt
+
+    def _digit_glyph_rescue(self, pages, dets, quads_list, out) -> None:
+        """Re-decode low-confidence crops on PURE-Latin pages with the
+        Devanagari recognizer when script routing is active.
+
+        _confidence_rescue only fires on pages that already carry both
+        recognizers — but a LATIN form can still carry crops drawn in the
+        Devanagari font face: digits/punct are covered by every font, so
+        a date or phone VALUE sometimes renders in the Devanagari face,
+        whose digit glyphs the Latin model garbles ('2013-02-13' read as
+        '?o1?-o2-1]'; measured forms_e2e loss family, seed 5251 doc 6).
+        The deva model reads those glyphs natively — and since the deva
+        face has no Latin LETTERS at all, this family is digits/punct
+        only, so an alt read is accepted only when (a) its confidence is
+        higher and (b) it contains no Devanagari codepoints. That gate
+        makes cross-script injection impossible on Latin pages."""
+        thresh = self.settings.script_rescue_conf
+        if thresh <= 0 or self.settings.rec_charset != "auto":
+            return
+        deva = self._devanagari_recognizer()
+        if deva is None or deva is self.recognizer:
+            return
+        empty = np.zeros((0, 4, 2), np.float32)
+        sel_list = [
+            [
+                j for j, r in enumerate(row)
+                if r is not None and r.confidence < thresh
+            ]
+            for row in out
+        ]
+        if not any(sel_list):
+            return
+        masked = [
+            q[sel] if sel else empty
+            for q, sel in zip(quads_list, sel_list)
+        ]
+        sub = self._recognize_with(deva, pages, dets, masked)
+        is_deva = lambda t: any("ऀ" <= c <= "ॿ" for c in t)
+        for i, sel in enumerate(sel_list):
+            for k, j in enumerate(sel):
+                alt = sub[i][k]
+                if (alt is not None
+                        and alt.confidence > out[i][j].confidence
+                        and alt.text.strip()
+                        and not is_deva(alt.text)):
+                    out[i][j] = alt
 
     def _recognize_with(self, recognizer, pages, dets, quads_list):
         """Route recognition through the det stage's device-resident canvases

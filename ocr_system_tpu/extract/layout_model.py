@@ -526,6 +526,19 @@ class LayoutModelExtractor:
         template: dict | None = None,
         custom_prompt: str | None = None,
     ) -> ExtractionResult:
+        # READING-ORDER sort (train/serve skew fix): training streams are
+        # row-clustered reading order (synth_forms._reading_order), but the
+        # engine delivers word boxes in rec-dispatch order — scrambled
+        # sequences put decode adjacency logic out of spec (measured: the
+        # geometric span merge glued 'Fuii Name' + 'Signature:' — same row,
+        # NEGATIVE gap because the stream ran right-to-left — into one key,
+        # orphaning the signature value; seed-5251 doc 6). Same sort key as
+        # training so the model sees its training distribution.
+        def _ro_key(b):
+            poly = b.get("polygon") or [0] * 8
+            return (round(min(poly[1::2]) / 14), min(poly[0::2]))
+
+        word_boxes = sorted(word_boxes, key=_ro_key)
         # long documents: more tokens than max_len -> page-chunk map-reduce
         # (SURVEY §5.7 pragmatic tier; ring attention serves the in-model
         # path when an sp mesh axis is available)

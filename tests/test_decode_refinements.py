@@ -248,3 +248,122 @@ class TestSpanLevelInlineSplit:
         tags = [1] + [2] * (len(text) - 1)
         fields = self._decode(text, tags)
         assert all(f.field_key != "Name" for f in fields)
+
+
+class TestReadingOrderSort:
+    """extract_from_layout must feed tokens in READING order (train/serve
+    skew fix): training streams are row-clustered reading order, but the
+    engine delivers word boxes in rec-dispatch order. Scrambled order broke
+    the decode geometric merge — 'Fuii Name' + 'Signature:' (same row,
+    stream running right-to-left -> NEGATIVE gap) glued into one key and
+    orphaned the signature value (seed-5251 doc 6)."""
+
+    def test_word_boxes_sorted_before_tokenize(self, settings, monkeypatch):
+        from ocr_system_tpu.extract import layout_model as LM
+
+        ex = LM.LayoutModelExtractor(settings)
+        seen: list[list[str]] = []
+
+        class _Captured(Exception):
+            pass
+
+        def spy(word_boxes, page_wh, charset, max_len):
+            seen.append([b["content"] for b in word_boxes])
+            raise _Captured  # skip the (slow) forward pass
+
+        monkeypatch.setattr(LM, "tokenize_layout", spy)
+
+        def box(content, x, y):
+            return {
+                "type": "word", "content": content, "page_number": 1,
+                "polygon": [x, y, x + 40, y, x + 40, y + 14, x, y + 14],
+            }
+
+        scrambled = [
+            box("Mary", 360, 190),       # row 2
+            box("Full Name", 340, 155),  # row 1, RIGHT of Signature
+            box("Signature:", 50, 153),  # row 1, leftmost
+            box("Date:", 50, 230),       # row 3
+        ]
+        try:
+            ex.extract_from_layout(scrambled, (960, 960), ocr_text="")
+        except _Captured:
+            pass
+        assert seen, "tokenize_layout never called"
+        assert seen[0] == ["Signature:", "Full Name", "Mary", "Date:"]
+
+
+class TestDigitGlyphRescue:
+    """pipeline._digit_glyph_rescue: low-confidence crops on PURE-Latin
+    pages re-decode with the Devanagari recognizer (digit glyphs of the
+    deva font face garble under the Latin model); an alt read is accepted
+    only at higher confidence with no Devanagari codepoints."""
+
+    def _fake_engine(self, alt_results, charset="auto", conf=0.95):
+        class FakeSelf:
+            class settings:  # noqa: N801 - attribute bag
+                script_rescue_conf = conf
+                rec_charset = charset
+
+            recognizer = object()
+
+            def _devanagari_recognizer(self):
+                return "deva-rec"
+
+            def _recognize_with(self, rec, pages, dets, masked):
+                # one page; return alt results aligned with the mask
+                assert rec == "deva-rec"
+                k = sum(len(m) for m in masked)
+                assert k == len(alt_results)
+                return [list(alt_results)]
+
+        return FakeSelf()
+
+    def test_rescues_digit_glyph_garble(self):
+        import numpy as np
+
+        from ocr_system_tpu.engine.pipeline import JaxOCREngine
+        from ocr_system_tpu.engine.recognizer import RecResult
+
+        out = [[RecResult("?o1?-o2-1]", 0.5), RecResult("clean", 0.99)]]
+        quads = [np.zeros((2, 4, 2), np.float32)]
+        fake = self._fake_engine([RecResult("2013-02-13", 0.8)])
+        JaxOCREngine._digit_glyph_rescue(fake, [None], [None], quads, out)
+        assert out[0][0].text == "2013-02-13"
+        assert out[0][1].text == "clean"  # above threshold: untouched
+
+    def test_deva_text_never_injected(self):
+        import numpy as np
+
+        from ocr_system_tpu.engine.pipeline import JaxOCREngine
+        from ocr_system_tpu.engine.recognizer import RecResult
+
+        out = [[RecResult("blurry", 0.5)]]
+        quads = [np.zeros((1, 4, 2), np.float32)]
+        fake = self._fake_engine([RecResult("राम", 0.99)])
+        JaxOCREngine._digit_glyph_rescue(fake, [None], [None], quads, out)
+        assert out[0][0].text == "blurry"
+
+    def test_lower_confidence_alt_rejected(self):
+        import numpy as np
+
+        from ocr_system_tpu.engine.pipeline import JaxOCREngine
+        from ocr_system_tpu.engine.recognizer import RecResult
+
+        out = [[RecResult("9157", 0.9)]]
+        quads = [np.zeros((1, 4, 2), np.float32)]
+        fake = self._fake_engine([RecResult("9757", 0.6)])
+        JaxOCREngine._digit_glyph_rescue(fake, [None], [None], quads, out)
+        assert out[0][0].text == "9157"
+
+    def test_disabled_when_routing_off(self):
+        import numpy as np
+
+        from ocr_system_tpu.engine.pipeline import JaxOCREngine
+        from ocr_system_tpu.engine.recognizer import RecResult
+
+        out = [[RecResult("x", 0.1)]]
+        quads = [np.zeros((1, 4, 2), np.float32)]
+        fake = self._fake_engine([RecResult("y", 0.99)], charset="latin")
+        JaxOCREngine._digit_glyph_rescue(fake, [None], [None], quads, out)
+        assert out[0][0].text == "x"
