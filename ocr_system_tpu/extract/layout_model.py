@@ -297,8 +297,19 @@ def decode_tags(
                 same_row = abs(
                     (bx_p[1] + bx_p[3]) / 2 - (bx_n[1] + bx_n[3]) / 2
                 ) < 0.7 * h
-                gap = float(bx_n[0] - bx_p[2])  # negative = same word box
-                if same_row and gap <= 2.2 * h:
+                gap = float(bx_n[0] - bx_p[2])
+                # negative gap is ambiguous: fragments of the SAME word box
+                # share coords (x-overlap ~ full width, merge), but a span
+                # whose next piece sits far LEFT of the previous one is a
+                # COLUMN WRAP — two different fields' values glued across
+                # the key between them ('PO Number' stealing '286.90 USD'
+                # from 'Total' on seed 5251 doc 3). Only real x-overlap
+                # earns the same-box merge.
+                x_overlap = float(
+                    min(bx_p[2], bx_n[2]) - max(bx_p[0], bx_n[0]))
+                w_min = max(1.0, min(bx_p[2] - bx_p[0], bx_n[2] - bx_n[0]))
+                same_box = x_overlap > 0.8 * w_min
+                if same_row and (same_box or -0.1 * h <= gap <= 2.2 * h):
                     merged[-1] = (kind, pa, b)
                     continue
         merged.append((kind, a, b))
@@ -626,10 +637,20 @@ class LayoutModelExtractor:
 
         # known form family: snap noisy keys onto its canonical lexicon
         # (the local analog of template.expected_fields sent to Gemini;
-        # Unknown forms have no lexicon and keep the OCR reading)
-        from ocr_system_tpu.extract.postfix import FORM_KEY_LEXICON, snap_key
+        # Unknown forms have no lexicon and keep the OCR reading). The
+        # model head's family prediction can miss on noisy pages — a
+        # key-evidence vote rescues it when the decoded keys themselves
+        # near-match one family's lexicon (measured: seed-5251 doc 4, a
+        # Medical Form predicted Unknown left 'aliergies' unsnapped).
+        from ocr_system_tpu.extract.postfix import (
+            FORM_KEY_LEXICON,
+            infer_family_from_keys,
+            snap_key,
+        )
 
-        form_type = FORM_TYPES[form_idx]
+        form_type = infer_family_from_keys(
+            [f.field_key for f in fields], FORM_TYPES[form_idx]
+        )
         lex = FORM_KEY_LEXICON.get(form_type)
         if lex:
             for f in fields:

@@ -22,6 +22,8 @@ emission so serving, eval, and the box-fed path all inherit it:
 
 from __future__ import annotations
 
+import re
+
 _DIGIT_CONF = {
     "O": "0", "o": "0", "l": "1", "I": "1", "|": "1",
     "S": "5", "B": "8", "Z": "2",
@@ -29,27 +31,117 @@ _DIGIT_CONF = {
 _NUMERIC_TYPES = {"phone", "number", "date", "currency"}
 _SEP = set(" -+()./,:")
 
+# Letter-context repairs (the reverse direction of _DIGIT_CONF): a digit
+# wedged between letters is an OCR misread of a letter, not a digit.
+# Measured classes on diag_extract_pipeline (seeds 5251/6260): '0rigin',
+# 'Fairview, 0H', 'AIice', 'siIva@', 'lndex', 'ImPortant SupPort'.
+_CONSONANTS = set("bcdfghjkmnpqrstvwxz")
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def _repair_token(tok: str, lower_zero: bool) -> str:
+    if not any(c.isalpha() for c in tok):
+        return tok
+    # word-initial 'l' + consonant on an otherwise-alphabetic token is an
+    # uppercase I ('lndex' -> 'Index'; len>=4 keeps '5 lbs' intact)
+    if (len(tok) >= 4 and tok[0] == "l" and tok[1:].isalpha()
+            and tok[1] in _CONSONANTS):
+        tok = "I" + tok[1:]
+    chars = list(tok)
+    for i, c in enumerate(chars):
+        prev = chars[i - 1] if i > 0 else ""
+        nxt = chars[i + 1] if i + 1 < len(chars) else ""
+        if c == "0":
+            if prev.isalpha() and nxt.isalpha():
+                chars[i] = "o"
+            elif not prev and nxt.isalpha():
+                # word-initial: 'OH'/'OR' state codes; keys are matched
+                # case-insensitively so lower_zero picks 'o' there
+                if nxt.isupper():
+                    chars[i] = "O"
+                elif lower_zero:
+                    chars[i] = "o"
+        elif c == "1":
+            if prev.isalpha() and nxt.isalpha() and (
+                    prev.islower() or nxt.islower()):
+                chars[i] = "l"
+        elif c == "I":
+            if prev.isalpha() and nxt.islower():
+                chars[i] = "l"
+        elif c.isupper() and lower_zero:
+            # stray mid-word capital between lowercase letters
+            # ('SupPort' -> 'Support'). KEY mode only (lower_zero): keys
+            # snap case-insensitively so lowering is free there, while
+            # values carry open-vocabulary proper nouns ('BlueKeel
+            # Lines') that this rule would destroy.
+            if prev.islower() and nxt.islower():
+                head = "".join(chars[:i])
+                if not (head.endswith("Mc") or head.endswith("Mac")):
+                    chars[i] = c.lower()
+    return "".join(chars)
+
+
+def repair_alpha(text: str, lower_zero: bool = False) -> str:
+    """Letter-context OCR repair on every alphanumeric token of ``text``.
+
+    Fixes only characters whose in-token neighbors prove the reading wrong
+    (digit between letters, mid-word capital I before lowercase, stray
+    mid-word capitals). Pure-digit tokens are never touched."""
+    if not text:
+        return text
+    return _TOKEN_RE.sub(lambda m: _repair_token(m.group(0), lower_zero),
+                         text)
+
+
+def _repair_email(value: str) -> str:
+    """Emails never contain spaces; domain separators are dots. Repairs
+    ':'/';'/',' in the domain and a dot misread as 'i' directly before a
+    known TLD when the domain lost its only dot."""
+    value = value.replace(" ", "")
+    user, _, dom = value.partition("@")
+    if not dom:
+        return value
+    dom = re.sub(r"[:;,]", ".", dom)
+    if "." not in dom:
+        m = re.match(r"^(.*\w)[il](com|org|net)$", dom)
+        if m:
+            dom = f"{m.group(1)}.{m.group(2)}"
+    return f"{user}@{dom}"
+
 
 def autocorrect_value(value: str, field_type: str) -> str:
     """Safe, type-gated OCR repair of a field value (see module doc)."""
     if not value:
         return value
     if field_type == "email" or ("@" in value and "." in value):
-        return value.replace(" ", "") if "@" in value else value
-    if field_type not in _NUMERIC_TYPES:
+        if "@" in value:
+            return repair_alpha(_repair_email(value), lower_zero=True)
         return value
+    if field_type == "phone":
+        value = value.replace(",", "")  # phone numbers never carry commas
+    elif field_type == "number":
+        value = value.replace(".-", "-")  # 'INV.-2020' ID-prefix artifact
+    if field_type not in _NUMERIC_TYPES:
+        return repair_alpha(value)
     digits = sum(c.isdigit() for c in value)
     if digits < 2 or digits < 0.4 * sum(c not in _SEP for c in value):
-        return value  # not digit-dominant: 'EUR', 'N/A', prose values
+        return repair_alpha(value)  # not digit-dominant: 'EUR', 'N/A', prose
     chars = list(value)
     for i, c in enumerate(chars):
         if c not in _DIGIT_CONF:
+            continue
+        # an immediate ALPHA neighbor (other than a fellow confusable)
+        # means the char sits inside a word — 'Jul 27' must not become
+        # 'Ju1 27' just because a digit follows across the space
+        imm_p = chars[i - 1] if i > 0 else ""
+        imm_n = chars[i + 1] if i + 1 < len(chars) else ""
+        if any(x.isalpha() and x not in _DIGIT_CONF for x in (imm_p, imm_n)):
             continue
         prev = next((x for x in reversed(chars[:i]) if x != " "), "")
         nxt = next((x for x in chars[i + 1:] if x != " "), "")
         if prev.isdigit() or nxt.isdigit():
             chars[i] = _DIGIT_CONF[c]
-    return "".join(chars)
+    return repair_alpha("".join(chars))
 
 
 def _cer(a: str, b: str) -> float:
@@ -71,10 +163,42 @@ def _cer(a: str, b: str) -> float:
 def clean_key(key: str) -> str:
     """Strip presentation artifacts from an extracted key: trailing ':'
     and dot-leader runs ('Signature..........' labels a signature line;
-    the dots are the ruled line, not the key)."""
-    import re
+    the dots are the ruled line, not the key). Keys are alphabetic labels
+    matched case-insensitively, so letter-context repair runs with
+    lower_zero ('0rigin' -> 'origin')."""
+    cleaned = re.sub(r"[.\s]*\.{2,}[.\s]*$", "", key.rstrip(":").strip())
+    return repair_alpha(cleaned.strip(), lower_zero=True)
 
-    return re.sub(r"[.\s]*\.{2,}[.\s]*$", "", key.rstrip(":").strip()).strip()
+
+def infer_family_from_keys(
+    keys: list[str], predicted: str = "Unknown", min_votes: int = 2
+) -> str:
+    """Key-evidence form-family vote: when the extracted keys strongly
+    match ONE family's lexicon, that family wins over the model head's
+    prediction (the local analog of Gemini inferring the template from
+    the field labels it reads — ref extraction_service.py template-free
+    path). Random keys on true-Unknown forms sit nowhere near any
+    lexicon (CER > 0.25 to every entry), so they never vote. A key only
+    votes when it matches exactly ONE family — generic labels ('Date',
+    'Signature') appear in several lexicons and prove nothing — and
+    overriding needs >= ``min_votes`` such keys plus a strict win over
+    the predicted family's own vote."""
+    counts: dict[str, int] = {f: 0 for f in FORM_KEY_LEXICON}
+    for key in keys:
+        if not key:
+            continue
+        k = " ".join(key.lower().split())
+        fams = [
+            fam for fam, lex in FORM_KEY_LEXICON.items()
+            if min(_cer(" ".join(c.lower().split()), k) for c in lex) <= 0.25
+        ]
+        if len(fams) == 1:
+            counts[fams[0]] += 1
+    best = max(counts, key=lambda f: counts[f], default=predicted)
+    if (counts.get(best, 0) >= min_votes
+            and counts[best] > counts.get(predicted, 0)):
+        return best
+    return predicted
 
 
 def snap_key(key: str, lexicon: list[str], max_cer: float = 0.25) -> str:

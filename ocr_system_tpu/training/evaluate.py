@@ -316,17 +316,26 @@ def evaluate_form_extraction(
             )
         else:
             result = extractor.extract(text)
-        # truth keys are the NOISY OCR readings by design (the extractor is
-        # scored on recovering what OCR produced) — but the extractor now
-        # snaps keys of KNOWN families onto the canonical lexicon
-        # (extract/postfix.snap_key), so truth must accept the same snap or
-        # the eval punishes a correct canonicalization
-        from ocr_system_tpu.extract.postfix import FORM_KEY_LEXICON, snap_key
+        # truth keys/values are the NOISY OCR readings by design (the
+        # extractor is scored on recovering what OCR produced) — but the
+        # extractor canonicalizes at emission (clean_key + snap_key on
+        # keys, typed autocorrect_value on values; extract/postfix), so
+        # truth must ride the SAME canonicalization or the eval punishes
+        # a correct repair (e.g. truth keeps an injected '0H' that the
+        # extractor correctly reads back to 'OH'). Both sides compare in
+        # repair-canonical space; tagging/pairing quality is what's left.
+        from ocr_system_tpu.extract.postfix import (
+            FORM_KEY_LEXICON,
+            autocorrect_value,
+            clean_key,
+            snap_key,
+        )
 
         lex = FORM_KEY_LEXICON.get(spec.form_type, [])
         truth = {
-            _norm_key(snap_key(k, lex)): _norm_val(v)
-            for k, v, _ in spec.pairs if v.strip()
+            _norm_key(snap_key(clean_key(k), lex)):
+                _norm_val(autocorrect_value(v, t))
+            for k, v, t in spec.pairs if v.strip()
         }
         got = {
             _norm_key(f.field_key): _norm_val(f.field_value)
