@@ -93,11 +93,52 @@ def repair_alpha(text: str, lower_zero: bool = False) -> str:
                          text)
 
 
+# US state codes: real-world product knowledge (same standing as the month
+# names in validation_service date parsing). Used to resolve the ambiguous
+# lowercase-'l' in a 2-letter code before a zip: 'Ml' could be MI (I
+# misread as l) or ML (case misread) — only one is a real state.
+_STATE_CODES = {
+    "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "FL", "GA", "HI",
+    "ID", "IL", "IN", "IA", "KS", "KY", "LA", "ME", "MD", "MA", "MI",
+    "MN", "MS", "MO", "MT", "NE", "NV", "NH", "NJ", "NM", "NY", "NC",
+    "ND", "OH", "OK", "OR", "PA", "RI", "SC", "SD", "TN", "TX", "UT",
+    "VT", "VA", "WA", "WV", "WI", "WY", "DC",
+}
+_STATE_ZIP_RE = re.compile(r"\b([A-Z])([li1I])(?=\s+\d{5}\b)")
+_SPLIT_ZIP_RE = re.compile(r"\b([A-Z]{2})\s+(\d{1,4})\s+(\d{1,4})\s*$")
+
+
+def _repair_address(value: str) -> str:
+    """State-code + zip repairs, anchored on the 'XX 12345' tail every US
+    address carries: a confusable second letter resolves against the real
+    state-code set ('Ml 63629' -> MI, 'Al 35758' -> AL), and a zip the rec
+    split mid-run rejoins when the halves make exactly 5 digits
+    ('WA 5971 3' -> 'WA 59713')."""
+
+    def _state(m: re.Match) -> str:
+        cands = {f"{m.group(1)}{c}" for c in ("I", "L")}
+        hits = sorted(cands & _STATE_CODES)
+        return hits[0] if len(hits) == 1 else m.group(0)
+
+    value = _STATE_ZIP_RE.sub(_state, value)
+    m = _SPLIT_ZIP_RE.search(value)
+    if m and len(m.group(2)) + len(m.group(3)) == 5:
+        value = (value[: m.start()]
+                 + f"{m.group(1)} {m.group(2)}{m.group(3)}")
+    return value
+
+
 def _repair_email(value: str) -> str:
     """Emails never contain spaces; domain separators are dots. Repairs
-    ':'/';'/',' in the domain and a dot misread as 'i' directly before a
-    known TLD when the domain lost its only dot."""
+    ':'/';'/',' in the domain, a dot misread as 'i' directly before a
+    known TLD when the domain lost its only dot, and an '@' misread as
+    'q' when the value has NO '@' at all (a broken email either way —
+    only a unique 'q' yielding user@domain.tld shape is rewritten)."""
     value = value.replace(" ", "")
+    if "@" not in value and value.count("q") == 1:
+        cand = value.replace("q", "@")
+        if re.fullmatch(r"[\w.+-]+@[\w-]+(\.[\w-]+)*\.[a-z]{2,4}", cand):
+            value = cand
     user, _, dom = value.partition("@")
     if not dom:
         return value
@@ -114,7 +155,7 @@ def autocorrect_value(value: str, field_type: str) -> str:
     if not value:
         return value
     if field_type == "email" or ("@" in value and "." in value):
-        if "@" in value:
+        if "@" in value or field_type == "email":
             return repair_alpha(_repair_email(value), lower_zero=True)
         return value
     if field_type == "phone":
@@ -122,10 +163,11 @@ def autocorrect_value(value: str, field_type: str) -> str:
     elif field_type == "number":
         value = value.replace(".-", "-")  # 'INV.-2020' ID-prefix artifact
     if field_type not in _NUMERIC_TYPES:
-        return repair_alpha(value)
+        return repair_alpha(_repair_address(value))
     digits = sum(c.isdigit() for c in value)
     if digits < 2 or digits < 0.4 * sum(c not in _SEP for c in value):
-        return repair_alpha(value)  # not digit-dominant: 'EUR', 'N/A', prose
+        # not digit-dominant: 'EUR', 'N/A', prose values
+        return repair_alpha(_repair_address(value))
     chars = list(value)
     for i, c in enumerate(chars):
         if c not in _DIGIT_CONF:

@@ -28,6 +28,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--docs", type=int, default=10)
     p.add_argument("--seed", type=int, default=4242)
+    p.add_argument("--wire-bits", type=int, default=4,
+                   help="det canvas wire depth (8 = no quantization); "
+                        "A/B how much residual noise the 4-bit serving "
+                        "wire contributes")
     args = p.parse_args()
 
     import numpy as np
@@ -51,6 +55,7 @@ def main() -> None:
         det_checkpoint="checkpoints/det",
         det_image_buckets=(960,),
         storage_root="storage",
+        det_wire_bits=args.wire_bits,
     )
     engine = JaxOCREngine(
         st, detector=HybridDetector(st),

@@ -114,6 +114,36 @@ class TestRepairAlpha:
                 == "INV-2020-7215")
         assert autocorrect_value("KL-123-45", "number") == "KL-123-45"
 
+    def test_state_code_before_zip(self):
+        # 'Ml' could be MI or ML; only MI is a real state code
+        assert (autocorrect_value(
+            "5367 Oak Avenue, Jackson, Ml 63629", "address")
+            == "5367 Oak Avenue, Jackson, MI 63629")
+        assert (autocorrect_value("Mobile, Al 35758", "address")
+                == "Mobile, AL 35758")
+        assert (autocorrect_value("Tampa, F1 33601", "address")
+                == "Tampa, FL 33601")
+        # no zip anchor -> untouched ('Ml' mid-prose stays)
+        assert autocorrect_value("Ml grade steel", "text") == (
+            "Ml grade steel")
+
+    def test_split_zip_rejoined(self):
+        assert (autocorrect_value(
+            "6413 Hill Crescent, Madison, WA 5971 3", "address")
+            == "6413 Hill Crescent, Madison, WA 59713")
+        # halves that don't make 5 digits stay split
+        assert (autocorrect_value("Suite WA 123 456", "address")
+                == "Suite WA 123 456")
+
+    def test_email_at_misread_as_q(self):
+        assert (autocorrect_value("tomqmail.org", "email")
+                == "tom@mail.org")
+        # value already containing '@' or several 'q's is left alone
+        assert (autocorrect_value("quinn@quarry.net", "email")
+                == "quinn@quarry.net")
+        assert (autocorrect_value("quentinqx.org", "email")
+                == "quentinqx.org")
+
     def test_pure_digit_tokens_untouched(self):
         assert repair_alpha("890548") == "890548"
         assert autocorrect_value("2013-01-11", "date") == "2013-01-11"
