@@ -25,6 +25,7 @@ same pixels — see JaxOCREngine.rec_stage.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -75,9 +76,17 @@ class Detector:
             )
         self.variables = params
         self._forward_cache: dict[tuple[int, int], object] = {}
+        self._forward_lock = threading.Lock()
 
     def _forward(self, bucket: int, batch: int):
+        # locked check-then-set: concurrent det workers must share ONE jit
+        # wrapper per (bucket, batch) key or each triggers its own 20-60 s
+        # remote compile of an identical executable
         key = (bucket, batch)
+        with self._forward_lock:
+            return self._forward_locked(key)
+
+    def _forward_locked(self, key: tuple[int, int]):
         if key not in self._forward_cache:
             s = self.settings
 

@@ -150,14 +150,33 @@ def _repair_email(value: str) -> str:
     return f"{user}@{dom}"
 
 
+_EMAIL_SHAPE_RE = re.compile(r"[\w.+-]+@[\w-]+(\.[\w-]+)*\.[a-z]{2,4}")
+
+
+def _repair_email_value(value: str) -> str:
+    repaired = _repair_email(value)
+    user, at, dom = repaired.partition("@")
+    if at:
+        # email local parts are case-sensitive: no stray-capital lowering
+        # there ('JohnDoe@' stays); domains are case-insensitive
+        return repair_alpha(user) + "@" + repair_alpha(dom, lower_zero=True)
+    return repair_alpha(repaired)
+
+
 def autocorrect_value(value: str, field_type: str) -> str:
     """Safe, type-gated OCR repair of a field value (see module doc)."""
     if not value:
         return value
-    if field_type == "email" or ("@" in value and "." in value):
-        if "@" in value or field_type == "email":
-            return repair_alpha(_repair_email(value), lower_zero=True)
-        return value
+    if field_type == "email":
+        return _repair_email_value(value)
+    if "@" in value and "." in value:
+        # untyped '@'-bearing value: commit the space-stripping email
+        # rewrite only when the result is actually email-shaped —
+        # 'meet @ the cafe. thanks' is prose, not a mangled address
+        cand = _repair_email_value(value)
+        if _EMAIL_SHAPE_RE.fullmatch(cand):
+            return cand
+        return repair_alpha(_repair_address(value))
     if field_type == "phone":
         value = value.replace(",", "")  # phone numbers never carry commas
     elif field_type == "number":

@@ -259,6 +259,12 @@ class FieldEvalResult:
     f1: float
     n_docs: int
     form_type_accuracy: float = 0.0
+    # pairs whose truth key/value the shared repair canonicalization
+    # CHANGED (ADVICE r4: a destructive repair corrupting both sides would
+    # otherwise score as a silent true positive — this makes the repair
+    # surface visible in the sweep)
+    repair_changed_pairs: int = 0
+    total_truth_pairs: int = 0
 
 
 def _norm_key(k: str) -> str:
@@ -301,6 +307,7 @@ def evaluate_form_extraction(
     rng = random.Random(seed + 1)
     tp = fp = fn = 0
     form_type_hits = 0
+    repair_changed = total_pairs = 0
     from ocr_system_tpu.engine.handwriting import (
         handwriting_to_fields,
         squiggle_overrides,
@@ -332,11 +339,16 @@ def evaluate_form_extraction(
         )
 
         lex = FORM_KEY_LEXICON.get(spec.form_type, [])
-        truth = {
-            _norm_key(snap_key(clean_key(k), lex)):
-                _norm_val(autocorrect_value(v, t))
-            for k, v, t in spec.pairs if v.strip()
-        }
+        truth = {}
+        for k, v, t in spec.pairs:
+            if not v.strip():
+                continue
+            rk = _norm_key(snap_key(clean_key(k), lex))
+            rv = _norm_val(autocorrect_value(v, t))
+            if rk != _norm_key(k) or rv != _norm_val(v):
+                repair_changed += 1
+            total_pairs += 1
+            truth[rk] = rv
         got = {
             _norm_key(f.field_key): _norm_val(f.field_value)
             for f in result.fields
@@ -372,6 +384,7 @@ def evaluate_form_extraction(
     return FieldEvalResult(
         precision=precision, recall=recall, f1=f1, n_docs=n_docs,
         form_type_accuracy=form_type_hits / max(n_docs, 1),
+        repair_changed_pairs=repair_changed, total_truth_pairs=total_pairs,
     )
 
 

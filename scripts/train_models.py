@@ -159,6 +159,18 @@ def train_layout(args) -> None:
             )
             logger.info("resumed from %s", args.resume)
 
+    out = Path(args.out or "checkpoints/extract")
+    if out.resolve() == Path("checkpoints/extract").resolve():
+        from ocr_system_tpu.core.config import Settings
+
+        s = Settings()
+        if (args.dim, args.depth) != (s.extract_dim, s.extract_depth):
+            raise SystemExit(
+                f"refusing to overwrite {out} with a {args.dim}x{args.depth} "
+                f"model: serving expects {s.extract_dim}x{s.extract_depth} "
+                "(Settings.extract_dim/extract_depth). Pass --out to train "
+                "an experimental architecture."
+            )
     state, metrics = T.train_layout(
         steps=args.steps,
         batch_size=args.batch,
@@ -172,7 +184,6 @@ def train_layout(args) -> None:
         deva_fraction=getattr(args, "deva_fraction", None),
     )
     logger.info("layout metrics: %s", metrics)
-    out = Path(args.out or "checkpoints/extract")
     save_checkpoint(out, {"params": state.params})
     logger.info("saved %s", out)
 
@@ -192,10 +203,18 @@ def main() -> None:
     p.add_argument("--det-size", type=int, default=640)
     p.add_argument("--forms-fraction", type=float, default=0.5,
                    help="fraction of det training pages that are forms")
-    p.add_argument("--dim", type=int, default=256,
-                   help="layout extractor width (512 = the 2x model)")
-    p.add_argument("--depth", type=int, default=6,
-                   help="layout extractor depth (8 = the 2x model)")
+    # defaults track the SERVING architecture (Settings.extract_dim/depth)
+    # so a default `train_models.py layout` run cannot clobber
+    # checkpoints/extract with a shape serving can no longer load
+    from ocr_system_tpu.core.config import Settings as _S
+
+    _serving = _S()
+    p.add_argument("--dim", type=int, default=_serving.extract_dim,
+                   help="layout extractor width (serving default "
+                        f"{_serving.extract_dim})")
+    p.add_argument("--depth", type=int, default=_serving.extract_depth,
+                   help="layout extractor depth (serving default "
+                        f"{_serving.extract_depth})")
     p.add_argument("--deva-fraction", type=float, default=0.0,
                    help="fraction of det training pages in Devanagari "
                         "(pixel diversity: Latin-only det emits rotated "

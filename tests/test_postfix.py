@@ -41,6 +41,22 @@ class TestAutocorrectValue:
             autocorrect_value("a b@c.org", "text") == "ab@c.org"
         )
 
+    def test_untyped_at_prose_not_mangled(self):
+        # ADVICE r4 medium: a text value that merely contains '@' and '.'
+        # must NOT get its spaces stripped — only a result that is actually
+        # email-shaped commits the rewrite
+        assert (
+            autocorrect_value("meet @ the cafe. thanks", "text")
+            == "meet @ the cafe. thanks"
+        )
+
+    def test_email_local_part_case_preserved(self):
+        # local parts are case-sensitive: no stray-capital lowering there
+        assert (
+            autocorrect_value("JohnDoe@acme.com", "email")
+            == "JohnDoe@acme.com"
+        )
+
     def test_not_digit_dominant_untouched(self):
         assert autocorrect_value("BlOS", "number") == "BlOS"  # 0 digits
         assert autocorrect_value("", "phone") == ""
