@@ -151,6 +151,14 @@ class Settings(BaseModel):
     # e2e sweep proves it (round-3: measure before shipping box-geometry
     # changes — the h//3 blanket pad regressed).
     det_split_column_gaps: bool = False
+    # lexicon-guided re-segmentation of column-merged det boxes
+    # (engine/glue_split.py): when a decoded box reads as
+    # '<value><known form label>:', split it at the ink gap where the
+    # label starts and re-recognize both halves. Text-anchored (unlike
+    # det_split_column_gaps' pixel-gap rule, which never fired on real
+    # det output) — the round-4 forms_e2e loss family it targets is det
+    # row-merges gluing a value to the NEXT column's label.
+    det_glue_split: bool = True
     # shrink each axis-aligned rec quad's y-extent to its dominant ink
     # row band (+0.15x band height margin) before cropping (engine/
     # script.py tighten_y; ink-derived, tighten-only, guarded against

@@ -53,6 +53,11 @@ class DetResult:
     canvas_stack: object | None = None  # jax (B, S, S) uint8 gray, on device
     canvas_row: int = -1  # this page's row in canvas_stack
     canvas_scale: float = 1.0  # page coords * scale -> canvas coords
+    # recognizer routing precomputed by the engine's det stage (one
+    # Recognizer, a per-box list, or None = not routed yet) so the
+    # scheduler's det worker thread pays script voting/resegmentation,
+    # overlapping rec of the previous wave
+    routing: object | None = None
 
 
 class Detector:

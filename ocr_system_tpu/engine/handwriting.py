@@ -49,6 +49,24 @@ SIGNATURE_KEYWORDS = (
 )
 
 
+def _has_signature_keyword(content: str) -> bool:
+    """Substring match plus a FUZZY token match for the long keywords:
+    rec noise on the label itself ('Signoturo') must not demote a true
+    signature label to the nearest-label fallback, which can then drift
+    to a neighboring VALUE word (measured: seed-6260 doc 4, 'Signature'
+    squiggle labeled 'item monthly')."""
+    if any(k in content for k in SIGNATURE_KEYWORDS):
+        return True
+    from ocr_system_tpu.extract.postfix import _cer
+
+    tokens = [t for t in content.split() if len(t) >= 6]
+    return any(
+        _cer(k, t) <= 0.25
+        for t in tokens
+        for k in ("signature", "initials", "authorised", "authorized")
+    )
+
+
 def _dilate(mask: np.ndarray, k: int = 3) -> np.ndarray:
     try:
         import cv2
@@ -260,7 +278,7 @@ def handwriting_to_fields(
     used: set[int] = set()
     for wb in words:
         content = wb["content"].strip().lower()
-        if not any(k in content for k in SIGNATURE_KEYWORDS):
+        if not _has_signature_keyword(content):
             continue
         wx = wb["polygon"][0::2]
         wy = wb["polygon"][1::2]
@@ -317,6 +335,32 @@ def handwriting_to_fields(
     # reference's extractor pairs by layout, not by keyword
     # (gemini_service.py:235-364 sees the squiggle next to its label).
     # The box itself is the evidence; the label just names the field.
+    # trailing-colon label runs ('Position:'): anything sitting just right
+    # of one on the same row is that label's VALUE, not a free label
+    colon_labels = []
+    for wb in words:
+        txt = wb["content"].strip()
+        if txt.endswith(":"):
+            xs_, ys_ = wb["polygon"][0::2], wb["polygon"][1::2]
+            colon_labels.append(
+                (wb.get("page_number"), max(xs_), min(ys_), max(ys_))
+            )
+
+    def _is_value_of_colon_label(wb) -> bool:
+        wx = wb["polygon"][0::2]
+        wy = wb["polygon"][1::2]
+        w_x0 = min(wx)
+        w_yc = (min(wy) + max(wy)) / 2.0
+        w_h = max(max(wy) - min(wy), 1.0)
+        for pg, lx1, ly0, ly1 in colon_labels:
+            if pg != wb.get("page_number"):
+                continue
+            if ly0 - 0.3 * w_h <= w_yc <= ly1 + 0.3 * w_h and (
+                -0.5 * w_h <= w_x0 - lx1 <= 4.0 * w_h
+            ):
+                return True
+        return False
+
     for i, hb in enumerate(hand_boxes):
         if i in used:
             continue
@@ -345,6 +389,12 @@ def handwriting_to_fields(
             if n_digits > 0.4 * max(len(txt.replace(" ", "")), 1):
                 continue
             if len(txt.split()) > 5 or "@" in txt:
+                continue
+            # sitting right of a 'Key:' run on the same row -> it's that
+            # key's value ('Position:' | 'item monthly' | squiggle below:
+            # the squiggle must not steal 'item monthly' as its label —
+            # measured seed-6260 doc 4, fabricated pair + orphaned truth)
+            if _is_value_of_colon_label(wb):
                 continue
             # (measured, rejected: also skipping labels with any printed
             # same-row right neighbor — multi-word labels get skipped and

@@ -334,7 +334,15 @@ class JaxOCREngine:
     # postprocess hide behind device compute instead of adding to it
 
     def det_stage(self, pages: list[PageImage]):
-        return self.detector.detect_batch([p.pixels for p in pages])
+        dets = self.detector.detect_batch([p.pixels for p in pages])
+        # script routing + Devanagari resegmentation run HERE, not in
+        # rec_stage: under the scheduler's pipelining the det worker thread
+        # pays this host work (page-script ink voting was ~150 ms of the
+        # 8-page wave) while the main thread runs rec of the previous wave
+        routing = self._route_and_normalize(pages, dets)
+        for d, r in zip(dets, routing):
+            d.routing = r
+        return dets
 
     # pages letterbox to detection canvases at scale s<=1; recognition crops
     # from those canvases only above this scale (below it the canvas has
@@ -353,7 +361,10 @@ class JaxOCREngine:
         prof = {} if _os.environ.get("OCR_DET_PROFILE") == "1" else None
         t0 = time.perf_counter() if t0 is None else t0
         _t = time.perf_counter()
-        recognizers = self._route_and_normalize(pages, dets)
+        if all(d.routing is not None for d in dets):
+            recognizers = [d.routing for d in dets]  # det stage already routed
+        else:
+            recognizers = self._route_and_normalize(pages, dets)
         if prof is not None:
             prof["route"] = time.perf_counter() - _t
             _t = time.perf_counter()
@@ -373,6 +384,11 @@ class JaxOCREngine:
         recs_list = self._recognize(pages, dets, quads_list, recognizers)
         if prof is not None:
             prof["recognize"] = time.perf_counter() - _t
+            _t = time.perf_counter()
+        if self.settings.det_glue_split:
+            self._split_glued(pages, dets, recs_list, recognizers)
+        if prof is not None:
+            prof["glue_split"] = time.perf_counter() - _t
             _t = time.perf_counter()
             JaxOCREngine.last_rec_profile = prof
         if len(pages) <= 1:
@@ -398,6 +414,60 @@ class JaxOCREngine:
         if prof is not None:
             prof["finish"] = time.perf_counter() - _t
         return out
+
+    def _split_glued(self, pages, dets, recs_list, recognizers) -> None:
+        """Lexicon-guided re-segmentation of column-merged det boxes (see
+        engine/glue_split.py): text says '<value><known label>:', pixels
+        confirm a column gap -> split the quad there and re-recognize both
+        halves in ONE batched dispatch. The split is kept only when the
+        right half still reads as the label (sanity gate: a wrong split
+        would decode the label garbled)."""
+        from ocr_system_tpu.engine import glue_split
+        from ocr_system_tpu.engine.recognizer import _to_gray
+        from ocr_system_tpu.extract.postfix import _cer, clean_key
+        from ocr_system_tpu.ops.boxes import DetectedBox
+
+        plans: list[tuple[int, list]] = []
+        for i, (p, d, recs) in enumerate(zip(pages, dets, recs_list)):
+            # Latin primary pages only: the glue family is multi-column
+            # Latin forms; deva pages already re-segment by shirorekha
+            if recognizers[i] is not self.recognizer or not d.boxes:
+                continue
+            texts = [r.text for r in recs]
+            if not any(":" in t for t in texts):
+                continue
+            pixels = d.page if d.page is not None else p.pixels
+            plan = glue_split.plan_splits(_to_gray(pixels), d.boxes, texts)
+            if plan:
+                plans.append((i, plan))
+        if not plans:
+            return
+        rec_pages, rec_quads = [], []
+        for i, plan in plans:
+            d = dets[i]
+            rec_pages.append(d.page if d.page is not None else pages[i].pixels)
+            rec_quads.append(
+                np.stack(
+                    [q for _, lq, rq, _lab in plan for q in (lq, rq)]
+                ).astype(np.float32)
+            )
+        half_recs = self.recognizer.recognize_pages(rec_pages, rec_quads)
+        for (i, plan), halves in zip(plans, half_recs):
+            d, recs = dets[i], recs_list[i]
+            for k in range(len(plan) - 1, -1, -1):  # reverse: indices stay valid
+                bi, lq, rq, label = plan[k]
+                lrec, rrec = halves[2 * k], halves[2 * k + 1]
+                if not lrec.text.strip() or not rrec.text.strip():
+                    continue
+                right_key = clean_key(rrec.text).lower()
+                if _cer(label.lower(), right_key) > 0.5:
+                    continue  # right half no longer reads as the label
+                score = d.boxes[bi].score
+                d.boxes[bi : bi + 1] = [
+                    DetectedBox(quad=lq, score=score),
+                    DetectedBox(quad=rq, score=score),
+                ]
+                recs[bi : bi + 1] = [lrec, rrec]
 
     def _recognize(self, pages, dets, quads_list, recognizers=None):
         """Dispatch recognition, grouped by recognizer assignment (a wave

@@ -228,11 +228,19 @@ class Recognizer:
         page_idxs = [i for i, q in enumerate(quads_list) if len(q) > 0]
         if page_idxs:
             n_rows = stack_dev.shape[0]
-            if len(page_idxs) > n_rows // 2:
-                # most rows carry boxes: keep the full (static, per-wave)
-                # stack — compaction would make n_pages a dynamic compile
-                # dimension (a fresh 20-60 s remote compile per distinct
-                # count; ADVICE r2)
+            try:
+                multi_dev = len(stack_dev.sharding.device_set) > 1
+            except AttributeError:
+                multi_dev = False
+            if multi_dev or len(page_idxs) > n_rows // 2:
+                # Keep the full (static, per-wave) stack when most rows
+                # carry boxes — compaction would make n_pages a dynamic
+                # compile dimension (a fresh 20-60 s remote compile per
+                # distinct count; ADVICE r2) — and ALWAYS when the stack is
+                # dp-sharded (multi-chip serving / CPU test mesh):
+                # jnp.take-compacting a dp-sharded array onto fewer rows
+                # than the mesh produces conflicting committed placements
+                # in the rec dispatch.
                 row_targets = [
                     i if len(q) > 0 else -1 for i, q in enumerate(quads_list)
                 ]
@@ -259,6 +267,38 @@ class Recognizer:
             for row in results
         ]
 
+    def _stack_placer(self, stack_dev):
+        """Arg placement aligned with the stack's sharding: when the det
+        canvas stack is dp-sharded over a mesh (multi-chip serving / CPU
+        test mesh), the rec dispatch's small args must carry a matching
+        NamedSharding (row dim on the same axis) and the weights a
+        replicated one — a committed single-device array mixed with the
+        dp-sharded stack is a placement error. Single-device stacks keep
+        the plain jnp.asarray path."""
+        sh = getattr(stack_dev, "sharding", None)
+        try:
+            multi = sh is not None and len(sh.device_set) > 1
+            mesh = sh.mesh
+            row_spec = sh.spec[0]
+        except (AttributeError, IndexError, TypeError):
+            multi = False
+        if not multi:
+            return jnp.asarray, self.variables
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def place(a):
+            return jax.device_put(
+                a, NamedSharding(mesh, P(row_spec, *([None] * (a.ndim - 1))))
+            )
+
+        key = (id(mesh), row_spec)
+        if getattr(self, "_replicated_vars_key", None) != key:
+            self._replicated_vars = jax.device_put(
+                self.variables, NamedSharding(mesh, P())
+            )
+            self._replicated_vars_key = key
+        return place, self._replicated_vars
+
     def _rec_on_stack(
         self,
         stack_dev,
@@ -275,6 +315,7 @@ class Recognizer:
         h_rec = s.rec_image_height
         buckets = sorted(s.rec_width_buckets)
         n_pages = stack_dev.shape[0]
+        place, variables = self._stack_placer(stack_dev)
 
         # bucket every (row, quad) by target width, split by per-quad
         # axis-alignment: a single rotated quad must not drag the whole
@@ -339,14 +380,14 @@ class Recognizer:
                     run = self._multi_aabb_rec_fn(
                         shape, n_pages, n_per_page, bucket
                     )
-                    args = (stack_dev, jnp.asarray(aabbs),
-                            jnp.asarray(w_valid), self.variables)
+                    args = (stack_dev, place(aabbs),
+                            place(w_valid), variables)
                 else:
                     run = self._multi_crop_rec_fn(
                         shape, n_pages, n_per_page, bucket
                     )
-                    args = (stack_dev, jnp.asarray(q),
-                            jnp.asarray(w_valid), self.variables)
+                    args = (stack_dev, place(q),
+                            place(w_valid), variables)
                 ids, conf, _ = run(*args)
                 if self._profile_stash is not None:
                     self._profile_stash.append((run, args))

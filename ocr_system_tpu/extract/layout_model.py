@@ -555,14 +555,27 @@ class LayoutModelExtractor:
         # path when an sp mesh axis is available)
         approx_tokens = sum(len(b.get("content") or "") + 1 for b in word_boxes)
         if approx_tokens > self.max_len and len(word_boxes) > 1:
-            return self._extract_chunked(
+            result = self._extract_chunked(
                 word_boxes, page_wh, ocr_text, line_confidences, template,
                 custom_prompt,
             )
-        return self._extract_direct(
-            word_boxes, page_wh, ocr_text, line_confidences, template,
-            custom_prompt,
+        else:
+            result = self._extract_direct(
+                word_boxes, page_wh, ocr_text, line_confidences, template,
+                custom_prompt,
+            )
+        # field-level directive steering applies ONCE at the top (never per
+        # chunk: an empty missing-field placeholder added inside chunk 1
+        # would win the earlier-chunk-wins merge over chunk 2's real value)
+        from ocr_system_tpu.extract.directives import (
+            apply_directives,
+            parse_directives,
         )
+
+        directives = parse_directives(custom_prompt, template)
+        if directives is not None:
+            result.fields = apply_directives(result.fields, directives)
+        return result
 
     def _extract_direct(
         self,
@@ -612,6 +625,21 @@ class LayoutModelExtractor:
         tokens_text = "".join(
             self.charset.id_to_char(int(i)) or " " for i in ids[:n_valid]
         )
+        # custom_prompt / FormTemplate steering (ref gemini_service.py:
+        # 511-549 — the prompt actually changes what the LLM extracts;
+        # extract/directives.py is the deterministic analog): KEY-tag
+        # log-prob bonus on expected-field name spans BEFORE the sub-word
+        # vote, field-level snapping/filtering after decode.
+        from ocr_system_tpu.extract.directives import (
+            apply_directives,
+            key_tag_bias,
+            parse_directives,
+        )
+
+        directives = parse_directives(custom_prompt, template)
+        if directives is not None and directives.expected:
+            key_tag_bias(tag_logp, tokens_text, directives)
+            tag_ids = np.argmax(tag_logp, -1)
         tag_ids = element_vote(
             tag_logp, tag_ids, word_of, n_valid, tokens_text
         )
@@ -691,10 +719,8 @@ class LayoutModelExtractor:
         ]
         merged = chunked_extract_merge(results)
         merged.language = infer_language(ocr_text)
-        if template:
-            merged.fields = self._fallback._apply_template(
-                merged.fields, [], line_confidences or {}, template
-            )
+        # template/custom_prompt steering happens in extract_from_layout
+        # (once, on the merged result — see the per-chunk poisoning note)
         return merged
 
 

@@ -63,21 +63,43 @@ def ctc_greedy_decode(
     return ids, conf, n
 
 
+_LOOKUP_CACHE: dict[str, object] = {}
+
+
+def _char_table(charset):
+    tbl = _LOOKUP_CACHE.get(charset.name)
+    if tbl is None:
+        import numpy as np
+
+        tbl = np.array(["\0"] + list(charset.chars), dtype="U1")
+        _LOOKUP_CACHE[charset.name] = tbl
+    return tbl
+
+
 def ids_to_text(ids, charset) -> list[str]:
     """Host-side: (B, T) padded id matrix -> list of strings via `charset`
-    (see models/charsets.py). Stops at first PAD_ID per row."""
+    (see models/charsets.py). Stops at first PAD_ID per row.
+
+    Vectorized: one table gather + one join for the whole batch — the
+    per-char `id_to_char` loop was ~150 ms of the 8-page serving wave
+    (1254 boxes x T method calls on the 1-core bench host)."""
     import numpy as np
 
     ids = np.asarray(ids)
-    out = []
-    for row in ids:
-        chars = []
-        for i in row:
-            if i == PAD_ID:
-                break
-            chars.append(charset.id_to_char(int(i)))
-        out.append("".join(chars))
-    return out
+    if ids.ndim == 1:
+        ids = ids[None]
+    t = ids.shape[1]
+    valid = ids != PAD_ID
+    # rows are left-packed: the valid prefix ends at the first PAD
+    prefix = np.cumprod(valid, axis=1, dtype=bool)
+    # decoded prefixes exclude blanks by construction; guard out-of-range
+    # ids anyway (id_to_char returned "" for them)
+    emit = prefix & (ids > 0) & (ids <= len(charset.chars))
+    n = emit.sum(axis=1)
+    chars = _char_table(charset)[np.where(emit, ids, 0)]
+    joined = "".join(chars[emit].tolist())
+    bounds = np.concatenate([[0], np.cumsum(n)]).tolist()
+    return [joined[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
 
 
 def ctc_loss(

@@ -187,7 +187,18 @@ class TextRenderer:
             n = r.randint(1, max_words)
             if self._devanagari:
                 return " ".join(r.choice(_WORDS_HI) for _ in range(n))
-            words = [r.choice(_WORDS) for _ in range(n)]
+            if r.random() < 0.35:
+                # open-vocabulary pseudo-words, SAME generator as the form
+                # synthesizer's field keys (synth_forms._pseudo_word): form
+                # labels are 50% pseudo-words at serving, and a recognizer
+                # trained only on the fixed _WORDS pool misreads them
+                # ('Nelolu' -> 'Neioiu' — measured, the largest exact-F1
+                # key-noise family on seeds 5251/6260)
+                from ocr_system_tpu.training.synth_forms import _pseudo_word
+
+                words = [_pseudo_word(r, 2, 4) for _ in range(n)]
+            else:
+                words = [r.choice(_WORDS) for _ in range(n)]
             if r.random() < 0.3:
                 words = [w.capitalize() for w in words]
             elif r.random() < 0.15:
@@ -243,6 +254,14 @@ class TextRenderer:
         if kind < 0.8:  # key: value fragments
             if self._devanagari and charset_only:
                 return f"{r.choice(_WORDS_HI)}: {r.choice(_WORDS_HI)}"
+            if r.random() < 0.35:  # pseudo-word keys (see word branch note)
+                from ocr_system_tpu.training.synth_forms import _pseudo_word
+
+                key = " ".join(
+                    _pseudo_word(r, 2, 4).capitalize()
+                    for _ in range(r.randint(1, 2))
+                )
+                return f"{key}: {r.choice(_WORDS)}"
             return f"{r.choice(_WORDS).capitalize()}: {r.choice(_WORDS)}"
         if kind < 0.9 and not self._devanagari:
             # dotted-leader fragments ("Key ...... value" form rows): crops
