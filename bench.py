@@ -445,10 +445,21 @@ def main() -> None:
                     return False
                 time.sleep(4.0)
 
+    # parallel executable warmup: one thread per det bucket loads/compiles
+    # the serving executables concurrently (engine.warmup) — the lazy
+    # sequential loads cost 74 s of first-page latency in the r04 bench.
+    # Bounded + best-effort: on timeout the ladder below still warms lazily.
+    wu = Bounded("warmup", engine.warmup)
+    st = wu.wait(min(150.0, max(_deadline_left(deadline) - 60, 10)))
+    _phase("warmup", st, wu.dt)
+    _note(f"warmup: {st} in {wu.dt:.1f}s -> {wu.result if st == 'ok' else ''}")
+
     # small-bucket single page: ~70 KB wire at 4-bit — lands even at
-    # 0.1 MB/s. The cold run records too (nonzero beats three rounds of 0.0).
+    # 0.1 MB/s. The first run records too (tagged '-cold' when the warmup
+    # phase did not land; nonzero beats three rounds of 0.0).
     if not run_step("small-warm", lambda: engine.process_pages(pages_small),
-                    1, f"1x{small}px", 110.0, cold=True, full_size=False):
+                    1, f"1x{small}px", 110.0, cold=(st != "ok"),
+                    full_size=False):
         _emit_and_exit(0)
     run_step("small-probe", lambda: engine.process_pages(pages_small),
              1, f"1x{small}px", 45.0, full_size=False)
@@ -456,7 +467,7 @@ def main() -> None:
     # 8-page wave through the serving scheduler (no single-960 tier: its
     # (960,1) det + rec count shapes are executables serving never uses)
     run_step("wave-warm", lambda: scheduler.process(pages[:wave]),
-             wave, f"{wave}x{size}px", 150.0, cold=True)
+             wave, f"{wave}x{size}px", 150.0, cold=(st != "ok"))
     run_step("wave", lambda: scheduler.process(pages[:wave]),
              wave, f"{wave}x{size}px", 90.0)
 

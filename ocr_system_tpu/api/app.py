@@ -102,14 +102,20 @@ class ApiContext:
 
         def _warm():
             try:
+                engine = self.orchestrator.engine
+                if hasattr(engine, "warmup"):
+                    # parallel per-bucket executable loads (JaxOCREngine
+                    # .warmup): lazily they serialize — ~74 s first-page
+                    # latency measured in the r04 bench
+                    logger.info("engine warmup: %s", engine.warmup())
+                    return
+                if not hasattr(engine, "process_pages"):
+                    return
                 import numpy as np
 
                 from ocr_system_tpu.engine.preprocess import PageImage
                 from ocr_system_tpu.training import synth_forms as SF
 
-                engine = self.orchestrator.engine
-                if not hasattr(engine, "process_pages"):
-                    return
                 spec = SF.FormGenerator(seed=1).generate(
                     max(self.settings.det_image_buckets)
                 )

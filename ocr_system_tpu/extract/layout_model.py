@@ -547,14 +547,27 @@ class LayoutModelExtractor:
         # training so the model sees its training distribution.
         def _ro_key(b):
             poly = b.get("polygon") or [0] * 8
-            return (round(min(poly[1::2]) / 14), min(poly[0::2]))
+            # page FIRST: multi-page streams must not interleave rows of
+            # different pages that share y ranges (every page starts at
+            # y~0 — an unpaged sort shuffled 24 pages into 'Invoice
+            # Invoice Invoice ... INV-0002 INV-0003 ...')
+            return (
+                b.get("page_number", 1),
+                round(min(poly[1::2]) / 14),
+                min(poly[0::2]),
+            )
 
         word_boxes = sorted(word_boxes, key=_ro_key)
         # long documents: more tokens than max_len -> page-chunk map-reduce
         # (SURVEY §5.7 pragmatic tier; ring attention serves the in-model
-        # path when an sp mesh axis is available)
+        # path when an sp mesh axis is available). Multi-PAGE streams always
+        # chunk (per page): pages share the same coordinate space, so one
+        # window over two pages lets the model pair a key on page 1 with a
+        # value sitting at the "same" spot on page 2 — and training only
+        # ever shows single pages.
         approx_tokens = sum(len(b.get("content") or "") + 1 for b in word_boxes)
-        if approx_tokens > self.max_len and len(word_boxes) > 1:
+        n_pages = len({b.get("page_number", 1) for b in word_boxes})
+        if (approx_tokens > self.max_len or n_pages > 1) and len(word_boxes) > 1:
             result = self._extract_chunked(
                 word_boxes, page_wh, ocr_text, line_confidences, template,
                 custom_prompt,
@@ -760,6 +773,10 @@ def split_word_boxes(
         cur_tokens = sum(tokens(b) for b in cur)
 
     for page_no in sorted(by_page):
+        # windows never span pages: pages share one coordinate space, so a
+        # cross-page window would collide geometry (and no true key/value
+        # pair ever straddles a page — the overlap carry is intra-page only)
+        flush(carry_overlap=False)
         for b in by_page[page_no]:
             n = tokens(b)
             if cur and cur_tokens + n > max_len:

@@ -32,6 +32,16 @@ CKPTS = {
     "rec_devanagari": "checkpoints/rec_devanagari",
     "extract": "checkpoints/extract",
 }
+# candidate-gating overrides: SWEEP_CKPT_REC_LATIN=checkpoints/rec_r5x
+# swaps one checkpoint for an A/B sweep without touching the committed
+# defaults (the committed paths stay the canonical README numbers)
+import os as _os  # noqa: E402
+
+for _k in list(CKPTS):
+    _env = _os.environ.get(f"SWEEP_CKPT_{_k.upper()}")
+    if _env:
+        CKPTS[_k] = _env
+        print(f"[sweep] {_k} checkpoint OVERRIDE: {_env}", file=sys.stderr)
 
 
 def _require(*names: str) -> None:
