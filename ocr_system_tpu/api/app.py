@@ -423,17 +423,28 @@ def create_app(ctx: ApiContext | None = None) -> App:
         ext = get_extraction_or_404(req.path_params["extraction_id"])
         check_not_finalized(ext)
         body = req.json() or {}
-        if "field_value" not in body:
-            raise HTTPError(422, "field_value is required")
+        if "field_value" not in body and "is_valid" not in body:
+            raise HTTPError(422, "field_value or is_valid is required")
         field = ctx.repos.fields.get(req.path_params["field_id"])
         if field is None or field["extraction_id"] != ext["id"]:
             raise HTTPError(404, "Field not found")
-        updated = ctx.repos.fields.update_value(
-            field["id"],
-            body["field_value"],
-            edit_type=body.get("edit_type", "manual"),
-            edited_by=body.get("edited_by"),
-        )
+        updated = field
+        if "field_value" in body:
+            updated = ctx.repos.fields.update_value(
+                field["id"],
+                body["field_value"],
+                edit_type=body.get("edit_type", "manual"),
+                edited_by=body.get("edited_by"),
+            )
+        if "is_valid" in body:
+            # reviewer verdict checkbox (reference premium_fields.py valid
+            # checkboxes): a human mark overrides the automatic validator
+            ok = bool(body["is_valid"])
+            ctx.repos.fields.bulk_update_validation(
+                {field["id"]: (ok, "reviewer verified" if ok
+                               else "reviewer rejected", not ok)}
+            )
+            updated = ctx.repos.fields.get(field["id"])
         ctx.repos.extractions.update_stats(ext["id"], s)
         return Response.json(serialize_field(updated, s))
 

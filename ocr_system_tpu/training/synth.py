@@ -186,6 +186,14 @@ class TextRenderer:
         if kind < 0.45:
             n = r.randint(1, max_words)
             if self._devanagari:
+                if r.random() < 0.35:  # open-vocab Hindi pseudo-words
+                    # (same OOD-key rationale as the Latin branch below;
+                    # Hindi form keys are synth_forms._pseudo_word_deva)
+                    from ocr_system_tpu.training.synth_forms import (
+                        _pseudo_word_deva,
+                    )
+
+                    return " ".join(_pseudo_word_deva(r) for _ in range(n))
                 return " ".join(r.choice(_WORDS_HI) for _ in range(n))
             if r.random() < 0.35:
                 # open-vocabulary pseudo-words, SAME generator as the form
@@ -253,6 +261,12 @@ class TextRenderer:
             )
         if kind < 0.8:  # key: value fragments
             if self._devanagari and charset_only:
+                if r.random() < 0.35:
+                    from ocr_system_tpu.training.synth_forms import (
+                        _pseudo_word_deva,
+                    )
+
+                    return f"{_pseudo_word_deva(r)}: {r.choice(_WORDS_HI)}"
                 return f"{r.choice(_WORDS_HI)}: {r.choice(_WORDS_HI)}"
             if r.random() < 0.35:  # pseudo-word keys (see word branch note)
                 from ocr_system_tpu.training.synth_forms import _pseudo_word
