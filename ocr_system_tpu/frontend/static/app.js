@@ -283,10 +283,23 @@ document.getElementById("page-next")?.addEventListener("click", () => {
 });
 document.getElementById("show-all-boxes")?.addEventListener("change", renderOverlay);
 
+// confidence / review-state filter (reference premium_fields.py filter
+// dropdown + valid checkboxes)
+function fieldVisible(f) {
+  switch (review.filter || "all") {
+    case "low": return (f.confidence || 0) < 0.6;
+    case "review": return !!f.needs_review;
+    case "unverified": return f.is_valid !== true && f.is_valid !== 1;
+    default: return true;
+  }
+}
+
 function renderFields() {
   const e = review.ext;
   const host = document.getElementById("fields-list");
-  host.innerHTML = (e.fields || [])
+  const all = e.fields || [];
+  const shown = all.filter(fieldVisible);
+  host.innerHTML = shown
     .map(
       (f) => `<div class="field-card ${f.id === review.selected ? "selected" : ""}" data-id="${f.id}">
       <div class="field-key" onclick="selectField('${f.id}')">
@@ -294,17 +307,39 @@ function renderFields() {
         <span class="vmsg">${f.confidence_percent}%</span>
       </div>
       <textarea data-id="${f.id}" rows="1" ${e.is_finalized ? "disabled" : ""}>${f.field_value ?? ""}</textarea>
-      <div class="vmsg">${f.field_type}${f.validation_message ? " · " + f.validation_message : ""}${f.is_edited ? " · edited" : ""}</div>
+      <div class="vmsg">
+        <label><input type="checkbox" class="valid-box" data-id="${f.id}"
+          ${f.is_valid ? "checked" : ""} ${e.is_finalized ? "disabled" : ""}> valid</label>
+        · ${f.field_type}${f.validation_message ? " · " + f.validation_message : ""}${f.is_edited ? " · edited" : ""}${f.needs_review ? " · ⚠ review" : ""}
+      </div>
     </div>`
     )
-    .join("") || "<p class='vmsg'>No fields extracted.</p>";
+    .join("") ||
+    `<p class='vmsg'>${all.length ? "No fields match the filter." : "No fields extracted."}</p>`;
   host.querySelectorAll("textarea").forEach((t) =>
     t.addEventListener("input", () => (review.edits[t.dataset.id] = t.value))
+  );
+  // reviewer verdict round-trips immediately (PATCH {is_valid}) — it is a
+  // review action, not a buffered edit
+  host.querySelectorAll(".valid-box").forEach((c) =>
+    c.addEventListener("change", async () => {
+      await api
+        .patch(`/api/extractions/${e.id}/fields/${c.dataset.id}`,
+               { is_valid: c.checked })
+        .catch((err) => toast(err.message));
+      const f = all.find((x) => x.id === c.dataset.id);
+      if (f) { f.is_valid = c.checked; f.needs_review = !c.checked; }
+    })
   );
   document.getElementById("finalize-btn").disabled = !!e.is_finalized;
   document.getElementById("save-all").disabled = !!e.is_finalized;
   document.getElementById("add-field-btn").disabled = !!e.is_finalized;
 }
+
+document.getElementById("conf-filter")?.addEventListener("change", (ev) => {
+  review.filter = ev.target.value;
+  if (review.ext) renderFields();
+});
 
 // ---- extraction chat (POST /api/extractions/{id}/chat; history
 // round-trips so follow-ups like "and its confidence?" resolve server-side)
@@ -415,7 +450,7 @@ async function renderDashboard() {
   ]
     .map(([l, v]) => `<div class="metric"><div class="v">${v}</div><div class="l">${l}</div></div>`)
     .join("");
-  barChart("chart-status", d.documents.by_status);
+  pieChart("chart-status", d.documents.by_status);
   barChart("chart-forms", d.extractions.by_form_type);
   const p = await api.get("/api/stats/processing").catch(() => null);
   if (p) {
@@ -429,6 +464,43 @@ async function renderDashboard() {
         )
         .join("") + `</table>`;
   }
+}
+
+// status distribution pie (reference frontend/pages/3_Dashboard.py:59-102)
+function pieChart(svgId, data) {
+  const svg = document.getElementById(svgId);
+  const entries = Object.entries(data || {}).filter(([, v]) => v > 0);
+  if (!entries.length) { svg.innerHTML = ""; return; }
+  const W = 400, H = 200, cx = 110, cy = 100, r = 80;
+  const total = entries.reduce((s, [, v]) => s + v, 0);
+  const colors = { completed: "#35c46f", processing: "#4f8cff",
+                   pending: "#d9a53a", failed: "#e0564f" };
+  const fallback = ["#4f8cff", "#35c46f", "#d9a53a", "#e0564f", "#9b6fe0"];
+  svg.setAttribute("viewBox", `0 0 ${W} ${H}`);
+  let angle = -Math.PI / 2, i = 0;
+  const parts = [], legend = [];
+  for (const [k, v] of entries) {
+    const frac = v / total;
+    const a2 = angle + frac * 2 * Math.PI;
+    const fill = colors[k] || fallback[i % fallback.length];
+    if (entries.length === 1 || frac > 0.999) {
+      parts.push(`<circle cx="${cx}" cy="${cy}" r="${r}" fill="${fill}"/>`);
+    } else {
+      const x1 = cx + r * Math.cos(angle), y1 = cy + r * Math.sin(angle);
+      const x2 = cx + r * Math.cos(a2), y2 = cy + r * Math.sin(a2);
+      const big = frac > 0.5 ? 1 : 0;
+      parts.push(
+        `<path d="M${cx},${cy} L${x1.toFixed(1)},${y1.toFixed(1)} ` +
+        `A${r},${r} 0 ${big} 1 ${x2.toFixed(1)},${y2.toFixed(1)} Z" fill="${fill}"/>`
+      );
+    }
+    legend.push(
+      `<rect x="230" y="${30 + i * 24}" width="12" height="12" rx="2" fill="${fill}"/>` +
+      `<text x="248" y="${41 + i * 24}" fill="#e8ecf4" font-size="12">${k} — ${v} (${(100 * frac).toFixed(0)}%)</text>`
+    );
+    angle = a2; i += 1;
+  }
+  svg.innerHTML = parts.join("") + legend.join("");
 }
 
 function barChart(svgId, data) {

@@ -242,6 +242,25 @@ class TestExtractions:
         resp = client.patch_json(f"/api/extractions/{eid}/fields/{fid}", {})
         assert resp.status == 422
 
+    def test_field_reviewer_valid_checkbox(self, client, uploaded):
+        """PATCH {is_valid} is the reviewer-verdict checkbox (reference
+        premium_fields.py): it flips validity + needs_review without
+        touching the value."""
+        eid = self._extraction_id(client, uploaded)
+        data = body_json(client.get(f"/api/extractions/{eid}"))
+        f0 = data["fields"][0]
+        out = body_json(client.patch_json(
+            f"/api/extractions/{eid}/fields/{f0['id']}", {"is_valid": True}
+        ))
+        assert out["is_valid"] in (True, 1)
+        assert out["needs_review"] in (False, 0)
+        assert out["field_value"] == f0["field_value"]  # value untouched
+        out = body_json(client.patch_json(
+            f"/api/extractions/{eid}/fields/{f0['id']}", {"is_valid": False}
+        ))
+        assert out["is_valid"] in (False, 0)
+        assert out["needs_review"] in (True, 1)
+
     def test_validate_endpoint(self, client, uploaded):
         eid = self._extraction_id(client, uploaded)
         data = body_json(client.post_json(f"/api/extractions/{eid}/validate", {}))
