@@ -159,6 +159,10 @@ class Settings(BaseModel):
     # det output) — the round-4 forms_e2e loss family it targets is det
     # row-merges gluing a value to the NEXT column's label.
     det_glue_split: bool = True
+    # scheduler det worker threads (engine/scheduler.py pipelining). 2 lets
+    # wave N+2's wire/device half overlap wave N+1's host half; A/B-able
+    # because on a 1-core host the GIL-bound halves can't truly overlap.
+    det_workers: int = 2
     # shrink each axis-aligned rec quad's y-extent to its dominant ink
     # row band (+0.15x band height margin) before cropping (engine/
     # script.py tighten_y; ink-derived, tighten-only, guarded against

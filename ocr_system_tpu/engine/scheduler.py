@@ -94,11 +94,16 @@ class PageScheduler:
             # grow device memory with document length. Futures are dropped
             # as soon as rec consumes them so the canvases free promptly.
             PREFETCH = 2
-            # two det workers: a det wave is ~half wire/device (GIL-free —
+            # det workers: a det wave is ~half wire/device (GIL-free —
             # upload, forward, prob fetch) and ~half host numpy; with two
             # waves in flight the wire/device half of wave N+2 overlaps the
-            # host half of wave N+1 while rec runs wave N on the main thread
-            with ThreadPoolExecutor(2, thread_name_prefix="det") as det_pool:
+            # host half of wave N+1 while rec runs wave N on the main
+            # thread. Configurable for A/B (VERDICT r4 #7) — see README
+            # perf notes for the measured setting.
+            workers = max(self.settings.det_workers, 1)
+            with ThreadPoolExecutor(
+                workers, thread_name_prefix="det"
+            ) as det_pool:
                 det_futs: list = [None] * len(waves)
                 for k in range(min(PREFETCH, len(waves))):
                     det_futs[k] = det_pool.submit(

@@ -58,6 +58,11 @@ def _engine(detector: str, charset, rec_ckpt: str):
 
     st = Settings(
         rec_checkpoint=rec_ckpt,
+        # explicit: the engine's script-routed Devanagari recognizer must
+        # follow the CKPTS table too, or SWEEP_CKPT_REC_DEVANAGARI gates
+        # silently measure the default path (burned round 5: two deva
+        # candidates 'gated' to identical numbers — neither was loaded)
+        rec_checkpoint_devanagari=CKPTS["rec_devanagari"],
         det_checkpoint=CKPTS["det"],
         det_image_buckets=(960,),
         storage_root="storage",
