@@ -58,6 +58,10 @@ class DetResult:
     # scheduler's det worker thread pays script voting/resegmentation,
     # overlapping rec of the previous wave
     routing: object | None = None
+    # luma view of `page`, computed ONCE in detect_batch: the host post
+    # passes (ink walk, script vote, glue split, selection-mark/handwriting
+    # CC) each re-derived it (~3-4 ms x 3-4 per page on the 1-core host)
+    gray: np.ndarray | None = None
 
 
 class Detector:
@@ -289,16 +293,20 @@ class Detector:
                 )
                 t_boxes += _time.perf_counter() - t
                 t = _time.perf_counter()
+                from ocr_system_tpu.engine.recognizer import _to_gray
+
+                # computed ONCE per page; every downstream host pass
+                # (ink walk here, script vote, glue split, CC passes)
+                # consumes this via DetResult.gray
+                gray_page = _to_gray(pages[i])
                 # ink-snap + proportional margin: DB's stride-2 prob map
                 # quantizes tiny-text box edges; snap extents to the actual
                 # ink, then pad a small margin for the recognizer
                 if s.det_ink_snap or s.det_ink_expand:
-                    from ocr_system_tpu.engine.recognizer import _to_gray
                     from ocr_system_tpu.ops.sampling import (
                         quads_are_axis_aligned,
                     )
 
-                    gray_page = _to_gray(pages[i])
                     aa = [
                         b for b in boxes
                         if quads_are_axis_aligned(b.quad[None])
@@ -339,6 +347,7 @@ class Detector:
                     canvas_stack=canvas_dev,
                     canvas_row=j,
                     canvas_scale=scale,
+                    gray=gray_page,
                 )
                 t_ink += _time.perf_counter() - t
             if prof is not None:

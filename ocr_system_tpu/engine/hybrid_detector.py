@@ -106,6 +106,7 @@ class HybridDetector:
                     canvas_stack=nd.canvas_stack,
                     canvas_row=nd.canvas_row,
                     canvas_scale=nd.canvas_scale,
+                    gray=nd.gray,
                 )
             )
         return out

@@ -124,10 +124,19 @@ class JaxOCREngine:
         n = len(pages)
         from ocr_system_tpu.engine import script as script_mod
 
+        def _host_view(p, d):
+            # the host post passes only need LUMA; detect_batch computed it
+            # once (DetResult.gray) — every _to_gray downstream passes a 2D
+            # array through unchanged
+            if d.gray is not None:
+                return d.gray
+            return d.page if d.page is not None else p.pixels
+
         def split_cols(p, d):
             if self.settings.det_split_column_gaps:
-                pixels = d.page if d.page is not None else p.pixels
-                d.boxes = script_mod.split_column_merged(pixels, d.boxes)
+                d.boxes = script_mod.split_column_merged(
+                    _host_view(p, d), d.boxes
+                )
 
         if self.settings.rec_charset not in ("auto", "devanagari"):
             for p, d in zip(pages, dets):
@@ -144,7 +153,7 @@ class JaxOCREngine:
                 split_cols(p, d)
             return [self.recognizer] * n
         def route_one(p, d):
-            pixels = d.page if d.page is not None else p.pixels
+            pixels = _host_view(p, d)
             quads = np.array(
                 [b.quad for b in d.boxes], np.float32
             ).reshape(-1, 4, 2)
@@ -222,7 +231,8 @@ class JaxOCREngine:
                 or self.settings.enable_handwriting_detection):
             from ocr_system_tpu.engine.selection_marks import page_components
 
-            cc = page_components(pixels)  # shared mask+CC: one pass per page
+            # shared mask+CC: one pass per page, on the det stage's luma
+            cc = page_components(det.gray if det.gray is not None else pixels)
         if self.settings.enable_selection_marks:
             from ocr_system_tpu.engine.selection_marks import (
                 detect_selection_marks,
@@ -436,8 +446,11 @@ class JaxOCREngine:
             texts = [r.text for r in recs]
             if not any(":" in t for t in texts):
                 continue
-            pixels = d.page if d.page is not None else p.pixels
-            plan = glue_split.plan_splits(_to_gray(pixels), d.boxes, texts)
+            gray = (
+                d.gray if d.gray is not None
+                else _to_gray(d.page if d.page is not None else p.pixels)
+            )
+            plan = glue_split.plan_splits(gray, d.boxes, texts)
             if plan:
                 plans.append((i, plan))
         if not plans:

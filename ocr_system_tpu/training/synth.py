@@ -298,6 +298,29 @@ class TextRenderer:
                 return f"{left} {dots} {right}"
             return f"{dots} {right}"
         # random char soup over the charset (covers punctuation etc.)
+        if self._devanagari:
+            # STRUCTURED soup: Devanagari combining marks (matras, candra-
+            # bindu, virama) are only valid after a base consonant — bare
+            # mark sequences ('्ॊःछ२फ') render as degenerate glyph stacks
+            # no real document contains, and they dominated the worst
+            # e2e_hindi rows (diag round 5: page CER 0.42 on a 5-row page
+            # whose soup rows were mark-only). Consonant(+optional matra)
+            # clusters keep the coverage (rare consonants, digits, danda)
+            # without the impossible sequences.
+            cons = [chr(c) for c in range(0x0915, 0x093A)]
+            cons += [chr(c) for c in range(0x0958, 0x0960)]
+            matras = [chr(c) for c in range(0x093E, 0x094D)]
+            extras = [chr(c) for c in range(0x0966, 0x0970)] + ["।", "॥"]
+            out = []
+            for _ in range(r.randint(3, 9)):
+                roll = r.random()
+                if roll < 0.2:
+                    out.append(r.choice(extras))
+                else:
+                    out.append(r.choice(cons))
+                    if r.random() < 0.5:
+                        out.append(r.choice(matras))
+            return "".join(out)
         alphabet = self.charset.chars.replace(" ", "") or string.ascii_letters
         n = r.randint(3, 12)
         return "".join(r.choice(alphabet) for _ in range(n))
