@@ -119,7 +119,10 @@ class Settings(BaseModel):
     # prob-map DOWNLOAD format: 8 = stride-2 uint8, 4 = two 16-level pixels
     # per byte (halves the per-wave fetch, the largest remaining det wire
     # cost after the 4-bit upload). Box scores quantize to 1/16 — measured
-    # e2e-equivalent (gate: e2e sweep row unchanged)
+    # e2e-equivalent (gate: e2e sweep row unchanged). 1 = bitpacked
+    # device-binarized mask (geometry at FULL map fidelity — the bin
+    # threshold is static config) + stride-4 4-bit pooled score map for the
+    # component score gate: 3.2x fewer fetch bytes than 4-bit.
     det_prob_wire_bits: int = 4
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"

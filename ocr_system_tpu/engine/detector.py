@@ -184,6 +184,29 @@ class Detector:
                 # u8 ~180 ms); bin/box thresholds keep full fidelity at 1/255.
                 # det_prob_wire_bits=4 packs two 16-level pixels per byte
                 # (halves the fetch again; scores quantize to 1/16)
+                if s.det_prob_wire_bits == 1:
+                    # thinnest wire: geometry as a BITPACKED binarized mask
+                    # at full map resolution (the bin threshold is a static
+                    # setting, so binarizing on device loses nothing the
+                    # host path had) + a stride-4 avg-pooled 4-bit score
+                    # map for the component mean-score gate — 3.2x fewer
+                    # fetch bytes than the 4-bit map
+                    bits = (prob_ds > s.det_bin_thresh).astype(jnp.uint8)
+                    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+                    b_, hh, ww = bits.shape
+                    prob_u8 = (
+                        bits.reshape(b_, hh, ww // 8, 8)
+                        << shifts[None, None, None, :]
+                    ).sum(axis=-1).astype(jnp.uint8)
+                    score_ds = jax.lax.reduce_window(
+                        prob_ds, 0.0, jax.lax.add, (1, 4, 4), (1, 4, 4),
+                        "VALID",
+                    ) / 16.0
+                    s4 = (score_ds * 15.0 + 0.5).astype(jnp.uint8)
+                    score_u8 = (
+                        s4[:, :, 0::2] << 4 | s4[:, :, 1::2]
+                    ).astype(jnp.uint8)
+                    return prob_u8, score_u8, angles, gray_u8
                 if s.det_prob_wire_bits == 4:
                     p4 = (prob_ds * 15.0 + 0.5).astype(jnp.uint8)
                     prob_u8 = (
@@ -242,7 +265,13 @@ class Detector:
             if prof is not None and hasattr(placed, "block_until_ready"):
                 placed.block_until_ready()  # profiling only: isolate upload
             t = _tick("upload", t)
-            prob, angles, canvas_dev = fwd(placed, self.variables)
+            out = fwd(placed, self.variables)
+            score = None
+            if len(out) == 4:  # det_prob_wire_bits=1: + pooled score map
+                prob, score, angles, canvas_dev = out
+                score = score[:n_real]
+            else:
+                prob, angles, canvas_dev = out
             prob, angles = prob[:n_real], angles[:n_real]
             angles = np.asarray(angles)
             t = _tick("fwd+fetch_angles", t)
@@ -262,12 +291,29 @@ class Detector:
                 batch = np.stack([canvases[i] for i in idxs])
                 batch, n_real = self._pad_for_dp(batch)
                 placed = self._place(self._pack_wire(batch))
-                prob, _, canvas_dev = fwd(placed, self.variables)
+                out = fwd(placed, self.variables)
+                if len(out) == 4:
+                    prob, score, _, canvas_dev = out
+                    score = score[:n_real]
+                else:
+                    prob, _, canvas_dev = out
                 prob = prob[:n_real]
             t = _tick("deskew_repass", t)
 
             prob = np.asarray(prob)
-            if s.det_prob_wire_bits == 4:
+            score_maps = None
+            if s.det_prob_wire_bits == 1:
+                # unpack: bits -> (B, H, W) binary geometry mask; score ->
+                # stride-4 float map for the component mean-score gate
+                bits = np.unpackbits(prob, axis=2)
+                sc = np.asarray(score)
+                hi = (sc >> 4).astype(np.float32)
+                lo = (sc & 15).astype(np.float32)
+                score_maps = np.stack([hi, lo], axis=-1).reshape(
+                    sc.shape[0], sc.shape[1], -1
+                ) / 15.0
+                prob = bits  # binary geometry (full map resolution)
+            elif s.det_prob_wire_bits == 4:
                 hi = (prob >> 4).astype(np.float32)
                 lo = (prob & 15).astype(np.float32)
                 prob = np.stack([hi, lo], axis=-1).reshape(
@@ -282,15 +328,28 @@ class Detector:
                 t = _time.perf_counter()
                 scale = scales[i]
                 h, w = pages[i].shape[:2]
-                boxes = boxes_from_prob_map(
-                    prob[j],
-                    bin_thresh=s.det_bin_thresh,
-                    box_thresh=s.det_box_thresh,
-                    unclip_ratio=s.det_unclip_ratio,
-                    scale_xy=(PROB_STRIDE / scale, PROB_STRIDE / scale),
-                    clip_wh=(w, h),
-                    max_boxes=s.max_boxes_per_page,
-                )
+                if score_maps is not None:
+                    boxes = boxes_from_prob_map(
+                        binary=prob[j].astype(np.uint8),
+                        score_map=score_maps[j],
+                        score_stride=4,
+                        bin_thresh=s.det_bin_thresh,
+                        box_thresh=s.det_box_thresh,
+                        unclip_ratio=s.det_unclip_ratio,
+                        scale_xy=(PROB_STRIDE / scale, PROB_STRIDE / scale),
+                        clip_wh=(w, h),
+                        max_boxes=s.max_boxes_per_page,
+                    )
+                else:
+                    boxes = boxes_from_prob_map(
+                        prob[j],
+                        bin_thresh=s.det_bin_thresh,
+                        box_thresh=s.det_box_thresh,
+                        unclip_ratio=s.det_unclip_ratio,
+                        scale_xy=(PROB_STRIDE / scale, PROB_STRIDE / scale),
+                        clip_wh=(w, h),
+                        max_boxes=s.max_boxes_per_page,
+                    )
                 t_boxes += _time.perf_counter() - t
                 t = _time.perf_counter()
                 from ocr_system_tpu.engine.recognizer import _to_gray
@@ -334,11 +393,17 @@ class Detector:
                                 gray_page, b.quad,
                                 expand_only=not s.det_ink_snap,
                             )
-                for b in boxes:
-                    _pad_quad(
-                        b.quad, s.det_box_pad_ratio, w, h,
+                if boxes:
+                    # one vectorized pad for the whole page (the per-box
+                    # _pad_quad loop cost ~40 µs x 157 boxes x 8 pages of
+                    # small-array numpy overhead per wave)
+                    stack = np.stack([b.quad for b in boxes])
+                    _pad_quads_batch(
+                        stack, s.det_box_pad_ratio, w, h,
                         ratio_y=s.det_box_pad_ratio_y,
                     )
+                    for b, q in zip(boxes, stack):
+                        b.quad[...] = q
                 results[i] = DetResult(
                     boxes=boxes,
                     skew_angle=float(applied[j]),
@@ -530,6 +595,29 @@ def _pad_quad(
     quad[:, 1] += direction[:, 1] * pad_y
     quad[:, 0] = np.clip(quad[:, 0], 0, page_w - 1)
     quad[:, 1] = np.clip(quad[:, 1], 0, page_h - 1)
+
+
+def _pad_quads_batch(
+    quads: np.ndarray,
+    ratio: float,
+    page_w: float,
+    page_h: float,
+    ratio_y: float | None = None,
+) -> None:
+    """Vectorized _pad_quad over a (N, 4, 2) stack, in place."""
+    if len(quads) == 0:
+        return
+    h_box = quads[:, :, 1].max(axis=1) - quads[:, :, 1].min(axis=1)
+    pad_x = np.maximum(ratio * h_box, 1.0)[:, None]
+    pad_y = np.maximum(
+        (ratio if ratio_y is None else ratio_y) * h_box, 1.0
+    )[:, None]
+    center = quads.mean(axis=1, keepdims=True)
+    direction = np.sign(quads - center)
+    quads[:, :, 0] += direction[:, :, 0] * pad_x
+    quads[:, :, 1] += direction[:, :, 1] * pad_y
+    np.clip(quads[:, :, 0], 0, page_w - 1, out=quads[:, :, 0])
+    np.clip(quads[:, :, 1], 0, page_h - 1, out=quads[:, :, 1])
 
 
 def _det_bucket(shape, buckets: tuple[int, ...]) -> int:

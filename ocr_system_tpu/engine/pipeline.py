@@ -586,11 +586,30 @@ class JaxOCREngine:
         deva = self._devanagari_recognizer()
         if deva is None or deva is self.recognizer:
             return
+
+        def digit_plausible(text: str) -> bool:
+            # the deva model's glyph coverage can only rescue DIGIT/punct
+            # runs — its charset has no Latin letters, so a crop whose read
+            # is clearly wordy can never take the alt. Letters that are
+            # classic digit confusions (o/0, l/1, s/5, b/8, z/2, g/9, q/4,
+            # i/1, ?) still count as digit evidence ('2013-02-13' misreads
+            # as '?o1?-o2-1]'). Without this gate a low-confidence glyph
+            # page re-dispatched 1099/1254 crops for zero possible gain
+            # (measured: the rescue pass nearly doubled rec wall).
+            if not text.strip():
+                return True
+            core = [c for c in text if c != " "]
+            wordy = sum(
+                c.isalpha() and c.lower() not in "oliszbgq" for c in core
+            )
+            return wordy <= 0.3 * len(core)
+
         empty = np.zeros((0, 4, 2), np.float32)
         sel_list = [
             [
                 j for j, r in enumerate(row)
                 if r is not None and r.confidence < thresh
+                and digit_plausible(r.text)
             ]
             for row in out
         ]

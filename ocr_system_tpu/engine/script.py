@@ -275,16 +275,18 @@ def page_script(
     # as a "no" vote reads as Latin evidence it isn't. Latin print rarely
     # produces wide CONNECTED components at all (letters are separate
     # blobs), so an empty wide set already means Latin.
-    comps = [
-        ci for ci in range(1, n + 1)
-        if cnt[ci] >= 12
-        and cy1[ci] - cy0[ci] + 1 >= 6
-        and cx1[ci] - cx0[ci] + 1
-        >= max(12, 1.8 * (cy1[ci] - cy0[ci] + 1))
-    ]
-    if not comps:
+    w_all = np.asarray(cx1) - np.asarray(cx0) + 1
+    h_all = np.asarray(cy1) - np.asarray(cy0) + 1
+    wide = (
+        (np.asarray(cnt) >= 12)
+        & (h_all >= 6)
+        & (w_all >= np.maximum(12, 1.8 * h_all))
+    )
+    wide[0] = False
+    comps = np.nonzero(wide)[0]
+    if not len(comps):
         return "latin"
-    order = sorted(comps, key=lambda c: -int(cnt[c]))[: max(sample, 1)]
+    order = comps[np.argsort(-np.asarray(cnt)[comps])][: max(sample, 1)]
     hits = 0
     for ci in order:
         crop = gray[

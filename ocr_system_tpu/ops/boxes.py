@@ -170,7 +170,7 @@ def unclip_quad(quad: np.ndarray, ratio: float = 1.6) -> np.ndarray:
 
 
 def boxes_from_prob_map(
-    prob_map: np.ndarray,
+    prob_map: np.ndarray | None = None,
     bin_thresh: float = 0.3,
     box_thresh: float = 0.6,
     unclip_ratio: float = 1.6,
@@ -178,20 +178,36 @@ def boxes_from_prob_map(
     max_boxes: int = 1024,
     scale_xy: tuple[float, float] = (1.0, 1.0),
     clip_wh: tuple[float, float] | None = None,
+    binary: np.ndarray | None = None,
+    score_map: np.ndarray | None = None,
+    score_stride: int = 4,
 ) -> list[DetectedBox]:
     """prob_map (H, W) float in [0,1] -> ranked quads in page coordinates.
 
     scale_xy maps model-input coords back to original page pixels (undoes the
     letterbox scale); clip_wh clips quads to the original page size.
+
+    Thin-wire mode (det_prob_wire_bits=1): the device sends the
+    ALREADY-BINARIZED mask (`binary`, full map resolution — geometry keeps
+    full fidelity) plus a stride-`score_stride` pooled probability map
+    (`score_map`) that stands in for per-pixel probs in the component mean
+    score; `prob_map` may then be None.
     """
-    binary = (prob_map > bin_thresh).astype(np.uint8)
+    if binary is None:
+        binary = (prob_map > bin_thresh).astype(np.uint8)
     labels, n = _label_components(binary)
     boxes: list[DetectedBox] = []
     if n == 0:
         return boxes
     # bincount-based mean score per component (vectorized over all labels)
     flat = labels.reshape(-1)
-    probs = prob_map.reshape(-1)
+    if score_map is not None:
+        h, w = binary.shape
+        yy = (np.arange(h) // score_stride).clip(0, score_map.shape[0] - 1)
+        xx = (np.arange(w) // score_stride).clip(0, score_map.shape[1] - 1)
+        probs = score_map[np.ix_(yy, xx)].reshape(-1)
+    else:
+        probs = prob_map.reshape(-1)
     counts = np.bincount(flat, minlength=n + 1).astype(np.float64)
     sums = np.bincount(flat, weights=probs, minlength=n + 1)
     mean_scores = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)

@@ -214,3 +214,26 @@ class TestWire4:
         # box counts in the same ballpark (random-weights det; the contract
         # is that the wire format doesn't perturb the input meaningfully)
         assert abs(len(d4.boxes) - len(d8.boxes)) <= max(2, len(d8.boxes))
+
+    def test_wire1_boxes_match_wire4(self, settings, form_image):
+        """det_prob_wire_bits=1 fetches a device-binarized bitpacked mask
+        (full geometric fidelity — same bin threshold) + a pooled score
+        map. Box GEOMETRY must match the 4-bit wire exactly; only the
+        score gate sees pooled values."""
+        page = form_image[:256, :256].copy()
+        s4 = settings.model_copy(update={"det_prob_wire_bits": 4})
+        s1 = settings.model_copy(update={"det_prob_wire_bits": 1})
+        d4 = JaxOCREngine(s4).det_stage([PageImage(page, 1)])[0]
+        d1 = JaxOCREngine(s1).det_stage([PageImage(page, 1)])[0]
+        import numpy as _np
+
+        q4 = sorted(tuple(map(float, b.quad.reshape(-1))) for b in d4.boxes)
+        q1 = sorted(tuple(map(float, b.quad.reshape(-1))) for b in d1.boxes)
+        # same binarization -> same components; allow the pooled score
+        # gate to drop AT MOST a borderline box or two
+        matched = sum(
+            1 for q in q1
+            if any(_np.allclose(q, r, atol=1.0) for r in q4)
+        )
+        assert matched >= len(q1) - 2
+        assert abs(len(q1) - len(q4)) <= 2
