@@ -157,3 +157,61 @@ class TestInitDbScript:
         )
         assert check.returncode == 0
         assert "ok" in check.stdout
+
+
+class TestDbAdminScript:
+    """scripts/db_admin.py — the sqlite deployment's ops story (reference:
+    docker-compose pgadmin profile)."""
+
+    def _run(self, tmp_path, *cmd):
+        import os
+        import subprocess
+        import sys
+
+        env = {
+            **os.environ,
+            "DATABASE_PATH": str(tmp_path / "admin.db"),
+            "STORAGE_ROOT": str(tmp_path / "storage"),
+            "JAX_PLATFORMS": "cpu",
+        }
+        return subprocess.run(
+            [sys.executable, "scripts/db_admin.py", *cmd],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+
+    def _seed(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        env = {
+            **os.environ,
+            "DATABASE_PATH": str(tmp_path / "admin.db"),
+            "STORAGE_ROOT": str(tmp_path / "storage"),
+            "JAX_PLATFORMS": "cpu",
+        }
+        subprocess.run(
+            [sys.executable, "scripts/init_db.py"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+
+    def test_tables_and_check(self, tmp_path):
+        self._seed(tmp_path)
+        out = self._run(tmp_path, "tables")
+        assert out.returncode == 0 and "documents" in out.stdout
+        chk = self._run(tmp_path, "check")
+        assert chk.returncode == 0 and "integrity_check: ok" in chk.stdout
+
+    def test_backup_and_vacuum(self, tmp_path):
+        self._seed(tmp_path)
+        bk = self._run(tmp_path, "backup", str(tmp_path / "bk.db"))
+        assert bk.returncode == 0 and (tmp_path / "bk.db").exists()
+        vac = self._run(tmp_path, "vacuum")
+        assert vac.returncode == 0 and "vacuum:" in vac.stdout
+
+    def test_sql_is_read_only(self, tmp_path):
+        self._seed(tmp_path)
+        ok = self._run(tmp_path, "sql", "SELECT COUNT(*) FROM documents")
+        assert ok.returncode == 0
+        bad = self._run(tmp_path, "sql", "DELETE FROM documents")
+        assert bad.returncode != 0
