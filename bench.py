@@ -449,10 +449,17 @@ def main() -> None:
     # the serving executables concurrently (engine.warmup) — the lazy
     # sequential loads cost 74 s of first-page latency in the r04 bench.
     # Bounded + best-effort: on timeout the ladder below still warms lazily.
-    wu = Bounded("warmup", engine.warmup)
-    st = wu.wait(min(150.0, max(_deadline_left(deadline) - 60, 10)))
-    _phase("warmup", st, wu.dt)
-    _note(f"warmup: {st} in {wu.dt:.1f}s -> {wu.result if st == 'ok' else ''}")
+    # Probe first: when the link is already dead, spending the 150 s warmup
+    # budget guarantees the whole window dies probing (observed r5).
+    if _link_probe(jnp, 12.0):
+        wu = Bounded("warmup", engine.warmup)
+        st = wu.wait(min(150.0, max(_deadline_left(deadline) - 60, 10)))
+        _phase("warmup", st, wu.dt)
+        _note(f"warmup: {st} in {wu.dt:.1f}s -> "
+              f"{wu.result if st == 'ok' else ''}")
+    else:
+        st = "skipped"
+        _phase("warmup", "skipped", 0.0)
 
     # small-bucket single page: ~70 KB wire at 4-bit — lands even at
     # 0.1 MB/s. The first run records too (tagged '-cold' when the warmup
