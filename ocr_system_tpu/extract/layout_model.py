@@ -651,6 +651,7 @@ class LayoutModelExtractor:
 
         directives = parse_directives(custom_prompt, template)
         if directives is not None and directives.expected:
+            tag_logp = np.array(tag_logp)  # device fetch view is read-only
             key_tag_bias(tag_logp, tokens_text, directives)
             tag_ids = np.argmax(tag_logp, -1)
         tag_ids = element_vote(

@@ -118,3 +118,69 @@ class TestKeyTagBias:
         span = np.argmax(logp[:9], -1)
         assert set(span.tolist()) <= {_I_BK, _I_IK}
         assert int(np.argmax(logp[10])) == _I_O
+
+
+import os
+
+import pytest
+
+
+@pytest.mark.slow
+class TestDirectivesEndToEnd:
+    """VERDICT r4 #5 acceptance: the SAME page extracts differently under
+    two templates, through the REAL trained extractor (the deterministic
+    analog of gemini_service.py:511-549 prompt injection)."""
+
+    def _extract(self, custom_prompt=None, template=None):
+        from ocr_system_tpu.core.config import Settings
+        from ocr_system_tpu.extract.layout_model import LayoutModelExtractor
+
+        s = Settings(
+            storage_root="/tmp/dirstore",
+            extract_checkpoint="checkpoints/extract",
+        )
+        lm = LayoutModelExtractor(s)
+        word_boxes = []
+        x = 40
+        rows = [
+            ("Vendor:", "Acme Corp", 40),
+            ("Total Amount:", "99.50", 80),
+            ("Notes:", "rush order", 120),
+        ]
+        for key, val, y in rows:
+            x = 40
+            for w in (key + " " + val).split():
+                wpx = 9 * len(w)
+                word_boxes.append({
+                    "type": "word", "content": w, "confidence": 0.98,
+                    "polygon": [x, y, x + wpx, y, x + wpx, y + 16, x, y + 16],
+                    "page_number": 1,
+                })
+                x += wpx + 6
+        return lm.extract_from_layout(
+            word_boxes, (612, 400),
+            custom_prompt=custom_prompt, template=template,
+        )
+
+    def test_same_page_two_templates_differ(self):
+        if not os.path.isdir("checkpoints/extract"):
+            pytest.skip("no committed extractor checkpoint")
+        base = self._extract()
+        only_vendor = self._extract(
+            custom_prompt="Extract only: Vendor",
+        )
+        keys_base = {f.field_key.lower() for f in base.fields if f.field_key}
+        keys_v = {
+            f.field_key.lower() for f in only_vendor.fields if f.field_key
+        }
+        assert keys_v == {"vendor"}
+        assert keys_base != keys_v
+
+    def test_template_adds_missing_expected_field(self):
+        if not os.path.isdir("checkpoints/extract"):
+            pytest.skip("no committed extractor checkpoint")
+        res = self._extract(template={
+            "expected_fields": [{"name": "PO Number", "field_type": "number"}]
+        })
+        missing = [f for f in res.fields if f.field_key == "PO Number"]
+        assert len(missing) == 1 and missing[0].confidence == 0.0
