@@ -667,8 +667,44 @@ class LayoutModelExtractor:
         # key empty — what random-init tags decode to after BIO repair);
         # orphan-only output survives only if rules also find nothing keyed.
         attempts = 1
+        retried = False
         degenerate = not fields or all(not f.field_key for f in fields)
         if degenerate and attempts < self.settings.extraction_max_retries:
+            # ADAPTIVE RETRY (reference gemini_service.py:443-484: rebuild
+            # the prompt with the parse failure + expected JSON shape and
+            # re-ask). The deterministic analog: re-DECODE the same logits
+            # with the known form vocabulary as a KEY-tag prior — the
+            # failure evidence ("no keyed spans decoded") selects the
+            # retry strategy, and the bias only resolves spans the model
+            # already found ambiguous. No second forward pass needed.
+            from ocr_system_tpu.extract.directives import Directives
+
+            attempts += 1
+            retried = True
+            from ocr_system_tpu.extract.postfix import FORM_KEY_LEXICON
+
+            union = Directives(expected=[
+                (k, "text") for lex in FORM_KEY_LEXICON.values() for k in lex
+            ])
+            retry_logp = np.array(tag_logp)
+            key_tag_bias(retry_logp, tokens_text, union)
+            retry_ids = element_vote(
+                retry_logp, np.argmax(retry_logp, -1), word_of, n_valid,
+                tokens_text,
+            )
+            retry_ids = force_inline_split(
+                retry_ids, word_of, tokens_text, n_valid
+            )
+            retry_fields = decode_tags(
+                retry_ids, type_ids, conf, tokens_text, boxes, n_valid
+            )
+            # accept the retry only when it recovers a COMPLETE pair —
+            # keyed-but-valueless spans must still fall through to the
+            # rules tier (which reads inline 'Key: value' rows directly)
+            if any(f.field_key and f.field_value for f in retry_fields):
+                fields = retry_fields
+                degenerate = False
+        if degenerate and attempts < self.settings.extraction_max_retries + 1:
             result = self._fallback.extract(
                 ocr_text, line_confidences, template, custom_prompt
             )
@@ -706,6 +742,9 @@ class LayoutModelExtractor:
             token_count=n_valid,
             processing_time_ms=int((time.perf_counter() - t0) * 1000),
             success=True,
+            raw_response=(
+                "layout_model:retry-lexicon-bias" if retried else None
+            ),
         )
 
 
