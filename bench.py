@@ -464,8 +464,13 @@ def main() -> None:
     # small-bucket single page: ~70 KB wire at 4-bit — lands even at
     # 0.1 MB/s. The first run records too (tagged '-cold' when the warmup
     # phase did not land; nonzero beats three rounds of 0.0).
+    # When warmup did NOT land, this step carries the first executable
+    # loads — and a timed-out-but-still-running load BLOCKS every later
+    # probe on the device queue (observed r5: probes "dead" behind a slow
+    # load while the link was alive). Give the cold path a longer leash.
+    small_warm_t = 110.0 if st == "ok" else 240.0
     if not run_step("small-warm", lambda: engine.process_pages(pages_small),
-                    1, f"1x{small}px", 110.0, cold=(st != "ok"),
+                    1, f"1x{small}px", small_warm_t, cold=(st != "ok"),
                     full_size=False):
         _emit_and_exit(0)
     run_step("small-probe", lambda: engine.process_pages(pages_small),

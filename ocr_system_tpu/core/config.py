@@ -162,10 +162,13 @@ class Settings(BaseModel):
     # det output) — the round-4 forms_e2e loss family it targets is det
     # row-merges gluing a value to the NEXT column's label.
     det_glue_split: bool = True
-    # scheduler det worker threads (engine/scheduler.py pipelining). 2 lets
-    # wave N+2's wire/device half overlap wave N+1's host half; A/B-able
-    # because on a 1-core host the GIL-bound halves can't truly overlap.
-    det_workers: int = 2
+    # scheduler det worker threads (engine/scheduler.py pipelining).
+    # A/B-measured round 5 (6 interleaved 32-page runs each): workers=1
+    # 11.81 p/s vs workers=2 11.87 — statistically identical on the 1-core
+    # host (PREFETCH=2 already pipelines wave N+1's det through a single
+    # worker while rec runs wave N). Default 1: same throughput, no
+    # cross-thread det contention. Raise on multi-core hosts.
+    det_workers: int = 1
     # shrink each axis-aligned rec quad's y-extent to its dominant ink
     # row band (+0.15x band height margin) before cropping (engine/
     # script.py tighten_y; ink-derived, tighten-only, guarded against
