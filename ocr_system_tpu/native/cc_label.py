@@ -38,6 +38,22 @@ def _get_lib() -> ctypes.CDLL:
                     ctypes.POINTER(ctypes.c_double),
                     ctypes.POINTER(ctypes.c_int32),
                 ]
+                lib.cc_analyze_u8.restype = ctypes.c_int32
+                lib.cc_analyze_u8.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_double),
+                ]
                 _lib = lib
     return _lib
 
@@ -82,3 +98,62 @@ def stats(
         bboxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return counts, sums, bboxes
+
+
+def analyze(
+    binary: np.ndarray,
+    prob: np.ndarray,
+    stride: int = 1,
+    cap: int = 4096,
+) -> tuple[np.ndarray, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fused 8-connectivity labeling + per-component statistics in ONE
+    GIL-free native call (cc_analyze_u8).
+
+    binary: (H, W) 0/1. prob: (ph, pw) float32 sampled at
+    (y // stride, x // stride) — pass the full-res probability map with
+    stride=1, or the pooled score map with its stride.
+
+    Returns (labels int32 (H, W), n, counts (n+1,) int64,
+    score_sums (n+1,) float64, bboxes (n+1, 4) int32 x0,y0,x1,y1,
+    moments (n+1, 5) float64 sum_x,sum_y,sum_xx,sum_yy,sum_xy).
+    """
+    img = np.ascontiguousarray(binary != 0, dtype=np.uint8)
+    probf = np.ascontiguousarray(prob, dtype=np.float32)
+    h, w = img.shape
+    ph, pw = probf.shape
+    lib = _get_lib()
+    labels = np.empty((h, w), dtype=np.int32)
+    while True:
+        counts = np.empty(cap + 1, dtype=np.int64)
+        sums = np.empty(cap + 1, dtype=np.float64)
+        bboxes = np.empty((cap + 1, 4), dtype=np.int32)
+        moments = np.empty((cap + 1, 5), dtype=np.float64)
+        n = lib.cc_analyze_u8(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            h,
+            w,
+            probf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ph,
+            pw,
+            stride,
+            cap,
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sums.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            bboxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            moments.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if n == -2:  # more components than cap — grow and retry
+            cap *= 4
+            continue
+        if n < 0:
+            raise ValueError("cc_analyze_u8 failed")
+        n = int(n)
+        return (
+            labels,
+            n,
+            counts[: n + 1],
+            sums[: n + 1],
+            bboxes[: n + 1],
+            moments[: n + 1],
+        )

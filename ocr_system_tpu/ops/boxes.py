@@ -94,7 +94,31 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
 
     Returns (quad (4,2) ordered tl,tr,br,bl relative to the text direction,
     width, height) where width >= height (text reads along width).
+
+    Routed through cv2's native hull+calipers when available (the pure-
+    Python monotone chain cost ~5 ms per rotated component — profiled as
+    the box extractor's dominant term on stroke-heavy pages); the numpy
+    implementation below is the dependency-free fallback and the reference
+    for the equivalence test.
     """
+    if len(points) >= 3:
+        try:
+            import cv2
+
+            (cx, cy), (w, h), ang = cv2.minAreaRect(
+                np.ascontiguousarray(points, dtype=np.float32).reshape(
+                    -1, 1, 2
+                )
+            )
+            if w > 1e-6 and h > 1e-6:
+                quad = _order_quad(
+                    cv2.boxPoints(((cx, cy), (w, h), ang)).astype(np.float32)
+                )
+                if h > w:
+                    w, h = h, w
+                return quad, float(w), float(h)
+        except Exception:  # noqa: BLE001 - numpy fallback below
+            pass
     hull = _convex_hull(points.astype(np.float64))
     if len(hull) == 1:
         p = hull[0]
@@ -169,6 +193,75 @@ def unclip_quad(quad: np.ndarray, ratio: float = 1.6) -> np.ndarray:
     return _order_quad(out.astype(np.float32))
 
 
+def _component_analysis(
+    binary: np.ndarray,
+    prob_map: np.ndarray | None,
+    score_map: np.ndarray | None,
+    score_stride: int,
+) -> tuple[np.ndarray, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Label components and gather every per-component statistic the box
+    extractor needs: (labels, n, counts int64 (n+1,), score_sums (n+1,),
+    bboxes int32 (n+1, 4) x0,y0,x1,y1, moments (n+1, 5)
+    sum_x,sum_y,sum_xx,sum_yy,sum_xy).
+
+    Prefers the framework's fused native op (cc_analyze_u8: one labeling
+    pass + one accumulate pass, GIL released for the whole call — replaces
+    ~15 numpy full-map passes that serialized against the rec stage on the
+    1-core serving host); falls back to an equivalent numpy implementation.
+    """
+    src = score_map if score_map is not None else prob_map
+    if src is None:
+        raise ValueError("need prob_map or score_map for component scoring")
+    stride = score_stride if score_map is not None else 1
+    try:
+        from ocr_system_tpu.native import cc_label
+
+        return cc_label.analyze(binary, src, stride=stride)
+    except Exception:
+        pass
+
+    labels, n = _label_components(binary)
+    if n == 0:
+        z = np.zeros(1, np.float64)
+        return (
+            labels, 0, np.zeros(1, np.int64), z,
+            np.zeros((1, 4), np.int32), np.zeros((1, 5), np.float64),
+        )
+    flat = labels.reshape(-1)
+    if score_map is not None:
+        h, w = binary.shape
+        yy = (np.arange(h) // stride).clip(0, score_map.shape[0] - 1)
+        xx = (np.arange(w) // stride).clip(0, score_map.shape[1] - 1)
+        probs = score_map[np.ix_(yy, xx)].reshape(-1)
+    else:
+        probs = src.reshape(-1)
+    counts = np.bincount(flat, minlength=n + 1).astype(np.int64)
+    sums = np.bincount(flat, weights=probs, minlength=n + 1)
+    ys, xs = np.nonzero(binary)
+    comp_of = labels[ys, xs]
+    order = np.argsort(comp_of, kind="stable")
+    ys_s, xs_s, comp_s = ys[order], xs[order], comp_of[order]
+    starts = np.searchsorted(comp_s, np.arange(1, n + 1))
+    ends = np.append(starts[1:], len(comp_s))
+    bboxes = np.zeros((n + 1, 4), np.int32)
+    nz = np.nonzero(ends > starts)[0]
+    if len(nz):
+        s_nz = starts[nz]
+        bboxes[nz + 1, 0] = np.minimum.reduceat(xs_s, s_nz)
+        bboxes[nz + 1, 1] = np.minimum.reduceat(ys_s, s_nz)
+        bboxes[nz + 1, 2] = np.maximum.reduceat(xs_s, s_nz)
+        bboxes[nz + 1, 3] = np.maximum.reduceat(ys_s, s_nz)
+    xf = xs.astype(np.float64)
+    yf = ys.astype(np.float64)
+    moments = np.zeros((n + 1, 5), np.float64)
+    moments[:, 0] = np.bincount(comp_of, weights=xf, minlength=n + 1)
+    moments[:, 1] = np.bincount(comp_of, weights=yf, minlength=n + 1)
+    moments[:, 2] = np.bincount(comp_of, weights=xf * xf, minlength=n + 1)
+    moments[:, 3] = np.bincount(comp_of, weights=yf * yf, minlength=n + 1)
+    moments[:, 4] = np.bincount(comp_of, weights=xf * yf, minlength=n + 1)
+    return labels, n, counts, sums, bboxes, moments
+
+
 def boxes_from_prob_map(
     prob_map: np.ndarray | None = None,
     bin_thresh: float = 0.3,
@@ -195,29 +288,18 @@ def boxes_from_prob_map(
     """
     if binary is None:
         binary = (prob_map > bin_thresh).astype(np.uint8)
-    labels, n = _label_components(binary)
+    labels, n, counts_i, sums, bboxes, moments = _component_analysis(
+        binary, prob_map, score_map, score_stride
+    )
     boxes: list[DetectedBox] = []
     if n == 0:
         return boxes
-    # bincount-based mean score per component (vectorized over all labels)
-    flat = labels.reshape(-1)
-    if score_map is not None:
-        h, w = binary.shape
-        yy = (np.arange(h) // score_stride).clip(0, score_map.shape[0] - 1)
-        xx = (np.arange(w) // score_stride).clip(0, score_map.shape[1] - 1)
-        probs = score_map[np.ix_(yy, xx)].reshape(-1)
-    else:
-        probs = prob_map.reshape(-1)
-    counts = np.bincount(flat, minlength=n + 1).astype(np.float64)
-    sums = np.bincount(flat, weights=probs, minlength=n + 1)
+    counts = counts_i.astype(np.float64)
     mean_scores = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
-
-    ys, xs = np.nonzero(binary)
-    comp_of = labels[ys, xs]
-    order = np.argsort(comp_of, kind="stable")
-    ys, xs, comp_of = ys[order], xs[order], comp_of[order]
-    starts = np.searchsorted(comp_of, np.arange(1, n + 1))
-    ends = np.append(starts[1:], len(comp_of))
+    x0 = bboxes[:, 0].astype(np.float64)
+    y0 = bboxes[:, 1].astype(np.float64)
+    x1 = bboxes[:, 2].astype(np.float64)
+    y1 = bboxes[:, 3].astype(np.float64)
 
     # ---- vectorized fast path for NEAR-RECTANGULAR components ----
     # A DB shrink component for a straight text word is a filled rectangle;
@@ -228,18 +310,7 @@ def boxes_from_prob_map(
     # the fill-ratio test routes only genuinely rotated/ragged components
     # (fill < 0.85) through the exact slow path.
     valid = np.zeros(n + 1, bool)
-    valid[1:] = (mean_scores[1:] >= box_thresh) & (ends > starts)
-    x0 = np.zeros(n + 1, np.float64)
-    x1 = np.zeros(n + 1, np.float64)
-    y0 = np.zeros(n + 1, np.float64)
-    y1 = np.zeros(n + 1, np.float64)
-    nz = np.nonzero(ends > starts)[0]
-    if len(nz):
-        s_nz = starts[nz]
-        x0[nz + 1] = np.minimum.reduceat(xs, s_nz)
-        x1[nz + 1] = np.maximum.reduceat(xs, s_nz)
-        y0[nz + 1] = np.minimum.reduceat(ys, s_nz)
-        y1[nz + 1] = np.maximum.reduceat(ys, s_nz)
+    valid[1:] = (mean_scores[1:] >= box_thresh) & (counts_i[1:] > 0)
     # fill uses pixel-count semantics (+1 spans); the size filter and the
     # emitted quad use EXTENT semantics (x1-x0) to match min_area_rect
     fill = np.where(
@@ -253,18 +324,16 @@ def boxes_from_prob_map(
         (np.minimum(w_all, h_all) < min_size)
         & (np.maximum(w_all, h_all) < min_size * 3)
     )
-    # principal-axis angle per component (vectorized second moments): a
-    # ragged-but-straight word blob (fill well below 0.85 on stroke-heavy
-    # pages — measured 0.4-0.8) still reads θ≈0°/90°, where min_area_rect
+    # principal-axis angle per component (second moments): a ragged-but-
+    # straight word blob (fill well below 0.85 on stroke-heavy pages —
+    # measured 0.4-0.8) still reads θ≈0°/90°, where min_area_rect
     # ≈ the AABB anyway; only genuinely tilted components need calipers.
     cnz = np.maximum(counts, 1.0)
-    mx = np.bincount(comp_of, weights=xs, minlength=n + 1) / cnz
-    my = np.bincount(comp_of, weights=ys, minlength=n + 1) / cnz
-    mxx = np.bincount(comp_of, weights=xs * xs, minlength=n + 1) / cnz - mx * mx
-    myy = np.bincount(comp_of, weights=ys * ys, minlength=n + 1) / cnz - my * my
-    mxy = np.bincount(
-        comp_of, weights=xs.astype(np.float64) * ys, minlength=n + 1
-    ) / cnz - mx * my
+    mx = moments[:, 0] / cnz
+    my = moments[:, 1] / cnz
+    mxx = moments[:, 2] / cnz - mx * mx
+    myy = moments[:, 3] / cnz - my * my
+    mxy = moments[:, 4] / cnz - mx * my
     theta = 0.5 * np.arctan2(2.0 * mxy, mxx - myy)  # radians, [-pi/2, pi/2]
     dev = np.minimum(np.abs(theta), np.pi / 2 - np.abs(theta))
     axis_aligned = dev < np.deg2rad(3.0)
@@ -297,8 +366,10 @@ def boxes_from_prob_map(
             )
 
     for comp in np.nonzero(slow)[0]:
-        s, e = starts[comp - 1], ends[comp - 1]
-        pts = _row_extremes(xs[s:e], ys[s:e])
+        bx0, by0, bx1, by1 = (int(v) for v in bboxes[comp])
+        sub = labels[by0 : by1 + 1, bx0 : bx1 + 1]
+        ys_c, xs_c = np.nonzero(sub == comp)
+        pts = _row_extremes(xs_c + bx0, ys_c + by0)
         quad, w, h = min_area_rect(pts)
         if min(w, h) < min_size and max(w, h) < min_size * 3:
             continue

@@ -275,6 +275,76 @@ class TestNative:
         assert sums[1] == pytest.approx(12.0)
         assert bb[1].tolist() == [3, 2, 8, 5]
 
+    def test_fused_analyze_matches_numpy_analysis(self):
+        """cc_analyze_u8 (one fused native pass) must reproduce the numpy
+        analysis bit-for-bit: the box extractor's fast/slow routing, scores,
+        and principal-axis gate all ride on these statistics."""
+        from ocr_system_tpu.native import cc_label
+        from ocr_system_tpu.ops import boxes as bx
+
+        rng = np.random.default_rng(3)
+        pm = np.zeros((240, 240), np.float32)
+        for _ in range(25):
+            y, x = rng.integers(0, 220), rng.integers(0, 180)
+            pm[y : y + rng.integers(3, 12), x : x + rng.integers(8, 50)] = (
+                rng.uniform(0.5, 1.0)
+            )
+        for i in range(60):  # rotated bar
+            pm[100 + i // 2, 30 + i : 34 + i] = 0.9
+        binary = (pm > 0.3).astype(np.uint8)
+        lab_n, n_n, cnt_n, sum_n, bb_n, mom_n = cc_label.analyze(binary, pm)
+
+        import builtins
+
+        real_import = builtins.__import__
+
+        def no_native(name, *a, **k):
+            if "native" in name:
+                raise ImportError(name)
+            return real_import(name, *a, **k)
+
+        builtins.__import__ = no_native
+        try:
+            lab_p, n_p, cnt_p, sum_p, bb_p, mom_p = bx._component_analysis(
+                binary, pm, None, 1
+            )
+        finally:
+            builtins.__import__ = real_import
+
+        assert n_n == n_p
+        # label ids may differ between labelers; match components by bbox
+        key_n = np.lexsort(bb_n[1:].T)
+        key_p = np.lexsort(bb_p[1:].T)
+        assert (bb_n[1:][key_n] == bb_p[1:][key_p]).all()
+        assert (cnt_n[1:][key_n] == cnt_p[1:][key_p]).all()
+        np.testing.assert_allclose(
+            sum_n[1:][key_n], sum_p[1:][key_p], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            mom_n[1:][key_n], mom_p[1:][key_p], rtol=1e-9
+        )
+
+    def test_fused_analyze_strided_score(self):
+        """stride>1 sampling (1-bit wire pooled score map) must equal the
+        numpy np.ix_ expansion path."""
+        from ocr_system_tpu.native import cc_label
+
+        rng = np.random.default_rng(5)
+        binary = np.zeros((64, 64), np.uint8)
+        binary[10:20, 8:40] = 1
+        binary[40:44, 50:62] = 1
+        score = rng.uniform(0, 1, (16, 16)).astype(np.float32)
+        _, n, counts, sums, _, _ = cc_label.analyze(binary, score, stride=4)
+        assert n == 2
+        yy = (np.arange(64) // 4).clip(0, 15)
+        xx = (np.arange(64) // 4).clip(0, 15)
+        full = score[np.ix_(yy, xx)]
+        lab, _ = cc_label.label(binary)
+        for comp in (1, 2):
+            ref = full[lab == comp].sum()
+            got = sums[comp] if counts[comp] else 0.0
+            assert got == pytest.approx(ref, rel=1e-6)
+
 
 class TestNativeInkWalk:
     def test_matches_python_ink_snap(self):
