@@ -345,7 +345,15 @@ class Recognizer:
                 )
                 group[k].append((q_i, quads[q_i], target_w[q_i]))
 
-        for (bucket, axis_aligned), groups in per_bucket.items():
+        # two-phase dispatch: queue EVERY bucket group's device work first,
+        # fetch afterwards. jax dispatch is async — but np.asarray(ids) right
+        # after each run() blocked that group's round-trip before the next
+        # group could even enter the queue, so 3-5 bucket groups paid 3-5
+        # serial tunnel latencies (~60 ms each) per wave. Dispatch-all/
+        # fetch-all overlaps compute + transfers across groups.
+        pending: list[tuple[int, object, object]] = []
+        group_list = list(per_bucket.items())
+        for (bucket, axis_aligned), groups in group_list:
                 # aspect-preserving crops: extend each quad rightward so the
                 # (48, bucket) sample grid renders the text at its natural
                 # scale in the first w_valid columns (training pads, never
@@ -391,6 +399,11 @@ class Recognizer:
                 ids, conf, _ = run(*args)
                 if self._profile_stash is not None:
                     self._profile_stash.append((run, args))
+                pending.append((n_per_page, ids, conf))
+
+        for ((bucket, axis_aligned), groups), (n_per_page, ids, conf) in zip(
+            group_list, pending
+        ):
                 texts = ctc.ids_to_text(ids, self.charset)
                 confs = np.asarray(conf)
                 for k, group in enumerate(groups):

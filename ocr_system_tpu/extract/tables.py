@@ -82,14 +82,18 @@ def _rows_from_boxes(boxes: list[dict]) -> list[list[dict]]:
     avg_h = float(np.mean([h for _, _, h, _ in items])) or 1.0
     items.sort(key=lambda t: t[1])
     rows: list[list] = [[items[0]]]
-    cur_y = items[0][1]
+    # running mean as an incremental sum (the per-append np.mean over the
+    # whole row was O(row^2) tiny-array calls — ~30 us x every box on the
+    # 1-core serving host)
+    row_sum, row_n = items[0][1], 1
     for it in items[1:]:
-        if abs(it[1] - cur_y) <= 0.5 * avg_h:
+        if abs(it[1] - row_sum / row_n) <= 0.5 * avg_h:
             rows[-1].append(it)
-            cur_y = float(np.mean([x[1] for x in rows[-1]]))
+            row_sum += it[1]
+            row_n += 1
         else:
             rows.append([it])
-            cur_y = it[1]
+            row_sum, row_n = it[1], 1
     return [[t[3] for t in sorted(r, key=lambda t: t[0])] for r in rows]
 
 
@@ -158,7 +162,9 @@ def _build_table(
         buckets: dict[int, list[dict]] = {}
         for b in rows[row_idx]:
             x0 = min(b["polygon"][0::2])
-            col = int(np.argmin([abs(x0 - a) for a in anchors]))
+            # anchors is short (<=~10 cols): plain-Python nearest beats a
+            # temporary list + np.argmin per box
+            col = min(range(len(anchors)), key=lambda k: abs(x0 - anchors[k]))
             # words right of their anchor but before the next anchor also
             # belong to that column
             while col + 1 < len(anchors) and x0 >= anchors[col + 1] - tol:
