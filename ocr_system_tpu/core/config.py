@@ -123,7 +123,16 @@ class Settings(BaseModel):
     # device-binarized mask (geometry at FULL map fidelity — the bin
     # threshold is static config) + stride-4 4-bit pooled score map for the
     # component score gate: 3.2x fewer fetch bytes than 4-bit.
+    # 0 = ON-DEVICE box statistics (ops/device_boxes): connected components
+    # + per-component stats computed in the det forward; only a (K, 7)
+    # stats tensor (~16 KB/page) is fetched and the map stays device-
+    # resident for the rare rotated-component fallback. Thinnest wire AND
+    # full-precision scores (no 4-bit quantization of the score gate).
     det_prob_wire_bits: int = 4
+    # stats rows per page in det_prob_wire_bits=0 mode (top-K components by
+    # pixel count). Real pages carry <300 components; overflow falls back
+    # to the exact host path over that page's map. 256 rows = 7 KB/page.
+    det_stats_k: int = 256
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     det_image_buckets: tuple[int, ...] = (640, 960, 1280)

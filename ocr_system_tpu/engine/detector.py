@@ -36,7 +36,11 @@ from ocr_system_tpu.core.config import Settings, get_settings
 from ocr_system_tpu.core.dtypes import DTypePolicy
 from ocr_system_tpu.models.dbnet import DBNet
 from ocr_system_tpu.ops import image_ops
-from ocr_system_tpu.ops.boxes import DetectedBox, boxes_from_prob_map
+from ocr_system_tpu.ops.boxes import (
+    DetectedBox,
+    boxes_from_prob_map,
+    boxes_from_stats,
+)
 
 PROB_STRIDE = 2  # prob map downsample before host transfer
 MIN_DESKEW_DEG = 0.5
@@ -184,6 +188,31 @@ class Detector:
                 # u8 ~180 ms); bin/box thresholds keep full fidelity at 1/255.
                 # det_prob_wire_bits=4 packs two 16-level pixels per byte
                 # (halves the fetch again; scores quantize to 1/16)
+                if s.det_prob_wire_bits == 0:
+                    # thinnest wire of all: per-component statistics are
+                    # computed ON DEVICE (ops/device_boxes: label
+                    # propagation + scatter reductions) and only a
+                    # (B, K, 7) stats tensor crosses the tunnel (~16 KB vs
+                    # ~460 KB for the 4-bit map — the map fetch is the
+                    # largest wire item, PERF.md). The 4-bit packed map is
+                    # ALSO returned but stays device-resident: jax fetches
+                    # lazily, so the host pays for a page's map only on the
+                    # rare rotated-component fallback.
+                    from ocr_system_tpu.ops.device_boxes import (
+                        component_stats_single,
+                    )
+
+                    k_top = min(s.det_stats_k, s.max_boxes_per_page)
+                    stats, n_comps = jax.vmap(
+                        lambda p: component_stats_single(
+                            p, s.det_bin_thresh, k_top
+                        )
+                    )(prob_ds)
+                    p4 = (prob_ds * 15.0 + 0.5).astype(jnp.uint8)
+                    prob_u8 = (
+                        p4[:, :, 0::2] << 4 | p4[:, :, 1::2]
+                    ).astype(jnp.uint8)
+                    return stats, n_comps, prob_u8, angles, gray_u8
                 if s.det_prob_wire_bits == 1:
                     # thinnest wire: geometry as a BITPACKED binarized mask
                     # at full map resolution (the bin threshold is a static
@@ -266,8 +295,11 @@ class Detector:
                 placed.block_until_ready()  # profiling only: isolate upload
             t = _tick("upload", t)
             out = fwd(placed, self.variables)
-            score = None
-            if len(out) == 4:  # det_prob_wire_bits=1: + pooled score map
+            score = stats = n_comps = None
+            if len(out) == 5:  # det_prob_wire_bits=0: device box stats
+                stats, n_comps, prob, angles, canvas_dev = out
+                stats, n_comps = stats[:n_real], n_comps[:n_real]
+            elif len(out) == 4:  # det_prob_wire_bits=1: + pooled score map
                 prob, score, angles, canvas_dev = out
                 score = score[:n_real]
             else:
@@ -292,13 +324,69 @@ class Detector:
                 batch, n_real = self._pad_for_dp(batch)
                 placed = self._place(self._pack_wire(batch))
                 out = fwd(placed, self.variables)
-                if len(out) == 4:
+                if len(out) == 5:
+                    stats, n_comps, prob, _, canvas_dev = out
+                    stats, n_comps = stats[:n_real], n_comps[:n_real]
+                elif len(out) == 4:
                     prob, score, _, canvas_dev = out
                     score = score[:n_real]
                 else:
                     prob, _, canvas_dev = out
                 prob = prob[:n_real]
             t = _tick("deskew_repass", t)
+
+            if stats is not None:
+                # stats mode: fetch ONLY the tiny stats tensors; `prob`
+                # stays a device array for the per-page lazy fallback
+                stats_np = np.asarray(stats)
+                n_comps_np = np.asarray(n_comps)
+                t = _tick("fetch_stats", t)
+                t_boxes = 0.0
+                t_ink = 0.0
+                for j, i in enumerate(idxs):
+                    t = _time.perf_counter()
+                    scale = scales[i]
+                    h, w = pages[i].shape[:2]
+                    boxes = boxes_from_stats(
+                        stats_np[j],
+                        int(n_comps_np[j]),
+                        box_thresh=s.det_box_thresh,
+                        unclip_ratio=s.det_unclip_ratio,
+                        scale_xy=(PROB_STRIDE / scale, PROB_STRIDE / scale),
+                        clip_wh=(w, h),
+                        max_boxes=s.max_boxes_per_page,
+                    )
+                    if boxes is None:
+                        # rotated component / K overflow: exact host path
+                        # over this ONE page's (lazily fetched) 4-bit map
+                        p = np.asarray(prob[j])
+                        hi = (p >> 4).astype(np.float32)
+                        lo = (p & 15).astype(np.float32)
+                        page_prob = np.stack([hi, lo], axis=-1).reshape(
+                            p.shape[0], -1
+                        ) / 15.0
+                        boxes = boxes_from_prob_map(
+                            page_prob,
+                            bin_thresh=s.det_bin_thresh,
+                            box_thresh=s.det_box_thresh,
+                            unclip_ratio=s.det_unclip_ratio,
+                            scale_xy=(
+                                PROB_STRIDE / scale, PROB_STRIDE / scale,
+                            ),
+                            clip_wh=(w, h),
+                            max_boxes=s.max_boxes_per_page,
+                        )
+                    t_boxes += _time.perf_counter() - t
+                    t = _time.perf_counter()
+                    self._ink_and_emit(
+                        results, boxes, pages, i, j, scale, None,
+                        canvas_dev, float(applied[j]),
+                    )
+                    t_ink += _time.perf_counter() - t
+                if prof is not None:
+                    prof["boxes"] = prof.get("boxes", 0.0) + t_boxes
+                    prof["ink+pad"] = prof.get("ink+pad", 0.0) + t_ink
+                continue
 
             prob = np.asarray(prob)
             score_maps = None
@@ -352,67 +440,9 @@ class Detector:
                     )
                 t_boxes += _time.perf_counter() - t
                 t = _time.perf_counter()
-                from ocr_system_tpu.engine.recognizer import _to_gray
-
-                # computed ONCE per page; every downstream host pass
-                # (ink walk here, script vote, glue split, CC passes)
-                # consumes this via DetResult.gray
-                gray_page = _to_gray(pages[i])
-                # ink-snap + proportional margin: DB's stride-2 prob map
-                # quantizes tiny-text box edges; snap extents to the actual
-                # ink, then pad a small margin for the recognizer
-                if s.det_ink_snap or s.det_ink_expand:
-                    from ocr_system_tpu.ops.sampling import (
-                        quads_are_axis_aligned,
-                    )
-
-                    aa = [
-                        b for b in boxes
-                        if quads_are_axis_aligned(b.quad[None])
-                    ]
-                    done = False
-                    if not s.det_ink_snap and aa:
-                        # expand-only serving path: one GIL-free native
-                        # call per page (~19 ms of Python -> ~1 ms, and it
-                        # no longer blocks the det/rec thread overlap)
-                        try:
-                            from ocr_system_tpu.native.ink_walk import (
-                                ink_expand_batch,
-                            )
-
-                            stack = np.stack([b.quad for b in aa])
-                            ink_expand_batch(gray_page, stack)
-                            for b, nq in zip(aa, stack):
-                                b.quad[...] = nq
-                            done = True
-                        except Exception:  # noqa: BLE001 - numpy fallback
-                            pass
-                    if not done:
-                        for b in aa:
-                            _ink_snap(
-                                gray_page, b.quad,
-                                expand_only=not s.det_ink_snap,
-                            )
-                if boxes:
-                    # one vectorized pad for the whole page (the per-box
-                    # _pad_quad loop cost ~40 µs x 157 boxes x 8 pages of
-                    # small-array numpy overhead per wave)
-                    stack = np.stack([b.quad for b in boxes])
-                    _pad_quads_batch(
-                        stack, s.det_box_pad_ratio, w, h,
-                        ratio_y=s.det_box_pad_ratio_y,
-                    )
-                    for b, q in zip(boxes, stack):
-                        b.quad[...] = q
-                results[i] = DetResult(
-                    boxes=boxes,
-                    skew_angle=float(applied[j]),
-                    page=pages[i],
-                    prob_map=prob[j],
-                    canvas_stack=canvas_dev,
-                    canvas_row=j,
-                    canvas_scale=scale,
-                    gray=gray_page,
+                self._ink_and_emit(
+                    results, boxes, pages, i, j, scale, prob[j],
+                    canvas_dev, float(applied[j]),
                 )
                 t_ink += _time.perf_counter() - t
             if prof is not None:
@@ -421,6 +451,72 @@ class Detector:
         if prof is not None:
             Detector.last_profile = prof
         return [results[i] for i in range(len(pages))]
+
+    def _ink_and_emit(
+        self, results, boxes, pages, i, j, scale, prob_map, canvas_dev,
+        applied_angle,
+    ) -> None:
+        """Shared per-page tail of detect_batch: ink snap/expand, batch quad
+        pad, DetResult emit. Used by both the prob-map and device-stats
+        paths."""
+        s = self.settings
+        h, w = pages[i].shape[:2]
+        from ocr_system_tpu.engine.recognizer import _to_gray
+
+        # computed ONCE per page; every downstream host pass
+        # (ink walk here, script vote, glue split, CC passes)
+        # consumes this via DetResult.gray
+        gray_page = _to_gray(pages[i])
+        # ink-snap + proportional margin: DB's stride-2 prob map
+        # quantizes tiny-text box edges; snap extents to the actual
+        # ink, then pad a small margin for the recognizer
+        if s.det_ink_snap or s.det_ink_expand:
+            from ocr_system_tpu.ops.sampling import quads_are_axis_aligned
+
+            aa = [b for b in boxes if quads_are_axis_aligned(b.quad[None])]
+            done = False
+            if not s.det_ink_snap and aa:
+                # expand-only serving path: one GIL-free native
+                # call per page (~19 ms of Python -> ~1 ms, and it
+                # no longer blocks the det/rec thread overlap)
+                try:
+                    from ocr_system_tpu.native.ink_walk import (
+                        ink_expand_batch,
+                    )
+
+                    stack = np.stack([b.quad for b in aa])
+                    ink_expand_batch(gray_page, stack)
+                    for b, nq in zip(aa, stack):
+                        b.quad[...] = nq
+                    done = True
+                except Exception:  # noqa: BLE001 - numpy fallback
+                    pass
+            if not done:
+                for b in aa:
+                    _ink_snap(
+                        gray_page, b.quad, expand_only=not s.det_ink_snap,
+                    )
+        if boxes:
+            # one vectorized pad for the whole page (the per-box
+            # _pad_quad loop cost ~40 µs x 157 boxes x 8 pages of
+            # small-array numpy overhead per wave)
+            stack = np.stack([b.quad for b in boxes])
+            _pad_quads_batch(
+                stack, s.det_box_pad_ratio, w, h,
+                ratio_y=s.det_box_pad_ratio_y,
+            )
+            for b, q in zip(boxes, stack):
+                b.quad[...] = q
+        results[i] = DetResult(
+            boxes=boxes,
+            skew_angle=applied_angle,
+            page=pages[i],
+            prob_map=prob_map,
+            canvas_stack=canvas_dev,
+            canvas_row=j,
+            canvas_scale=scale,
+            gray=gray_page,
+        )
 
     def _pack_wire(self, batch: np.ndarray) -> np.ndarray:
         """Optionally pack two 16-level pixels per byte (det_wire_bits=4)

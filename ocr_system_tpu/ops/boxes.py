@@ -385,6 +385,78 @@ def boxes_from_prob_map(
     return boxes[:max_boxes]
 
 
+def boxes_from_stats(
+    stats: np.ndarray,
+    n_comps: int,
+    box_thresh: float = 0.6,
+    unclip_ratio: float = 1.6,
+    min_size: float = 3.0,
+    max_boxes: int = 1024,
+    scale_xy: tuple[float, float] = (1.0, 1.0),
+    clip_wh: tuple[float, float] | None = None,
+) -> list[DetectedBox] | None:
+    """Device-computed component stats -> ranked quads, WITHOUT the prob map.
+
+    `stats` is ops/device_boxes.component_stats output for one page:
+    (K, 7) [count, score_sum, x0, y0, x1, y1, theta_dev] in prob-map
+    coordinates. Applies EXACTLY the gates of boxes_from_prob_map's fast
+    path (same formulas — the cross-path equivalence test in tests/test_ops
+    keeps them in sync). Returns None when this page needs the exact host
+    path (component overflow past K, or a genuinely rotated component that
+    needs min-area-rect over its pixels) — the caller then fetches that
+    page's prob map and falls back to boxes_from_prob_map.
+    """
+    if n_comps > stats.shape[0]:
+        return None
+    counts = stats[:, 0].astype(np.float64)
+    sums = stats[:, 1].astype(np.float64)
+    x0, y0, x1, y1 = (stats[:, i].astype(np.float64) for i in (2, 3, 4, 5))
+    dev = stats[:, 6].astype(np.float64)
+    present = counts > 0
+    mean_scores = np.where(present, sums / np.maximum(counts, 1), 0.0)
+    valid = present & (mean_scores >= box_thresh)
+    fill = np.where(
+        valid,
+        counts / np.maximum((x1 - x0 + 1.0) * (y1 - y0 + 1.0), 1.0),
+        0.0,
+    )
+    w_all = x1 - x0
+    h_all = y1 - y0
+    size_ok = ~(
+        (np.minimum(w_all, h_all) < min_size)
+        & (np.maximum(w_all, h_all) < min_size * 3)
+    )
+    axis_aligned = dev < np.deg2rad(3.0)
+    fast = valid & size_ok & ((fill >= 0.85) | (axis_aligned & (fill >= 0.3)))
+    slow = valid & size_ok & ~fast
+    if slow.any():
+        return None
+
+    boxes: list[DetectedBox] = []
+    sx, sy = scale_xy
+    fast_ids = np.nonzero(fast)[0]
+    if len(fast_ids):
+        fx0, fx1 = x0[fast_ids], x1[fast_ids]
+        fy0, fy1 = y0[fast_ids], y1[fast_ids]
+        w = fx1 - fx0
+        h = fy1 - fy0
+        d = w * h * unclip_ratio / np.maximum(2.0 * (w + h), 1e-6)
+        quads = np.empty((len(fast_ids), 4, 2), np.float32)
+        quads[:, 0, 0] = quads[:, 3, 0] = (fx0 - d) * sx
+        quads[:, 1, 0] = quads[:, 2, 0] = (fx1 + d) * sx
+        quads[:, 0, 1] = quads[:, 1, 1] = (fy0 - d) * sy
+        quads[:, 2, 1] = quads[:, 3, 1] = (fy1 + d) * sy
+        if clip_wh is not None:
+            np.clip(quads[..., 0], 0, clip_wh[0] - 1, out=quads[..., 0])
+            np.clip(quads[..., 1], 0, clip_wh[1] - 1, out=quads[..., 1])
+        for k_i, comp in enumerate(fast_ids):
+            boxes.append(
+                DetectedBox(quad=quads[k_i], score=float(mean_scores[comp]))
+            )
+    boxes.sort(key=lambda b: -b.score)
+    return boxes[:max_boxes]
+
+
 def quad_to_aabb(quad: np.ndarray) -> tuple[float, float, float, float]:
     """(4,2) quad -> (x0, y0, x1, y1) axis-aligned bounds."""
     return (

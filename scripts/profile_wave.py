@@ -43,6 +43,7 @@ def main() -> None:
         enable_deskew=True,
         enable_contrast_enhancement=True,
         det_wire_bits=4,
+        det_prob_wire_bits=int(os.environ.get("PROB_WIRE_BITS", "4")),
         storage_root="storage",
     )
     t0 = time.perf_counter()

@@ -237,3 +237,26 @@ class TestWire4:
         )
         assert matched >= len(q1) - 2
         assert abs(len(q1) - len(q4)) <= 2
+
+    def test_wire0_boxes_match_wire4(self, settings, form_image):
+        """det_prob_wire_bits=0 computes component stats ON DEVICE
+        (ops/device_boxes) and fetches only a (K, 7) tensor. Box geometry
+        must match the 4-bit map path within quantization tolerance (mode 0
+        scores are FULL precision, 4-bit quantizes to 1/16 — borderline
+        score-gate boxes may differ)."""
+        page = form_image[:256, :256].copy()
+        s4 = settings.model_copy(update={"det_prob_wire_bits": 4})
+        s0 = settings.model_copy(update={"det_prob_wire_bits": 0})
+        d4 = JaxOCREngine(s4).det_stage([PageImage(page, 1)])[0]
+        d0 = JaxOCREngine(s0).det_stage([PageImage(page, 1)])[0]
+        import numpy as _np
+
+        assert d0.canvas_stack is not None  # rec canvas handoff intact
+        q4 = sorted(tuple(map(float, b.quad.reshape(-1))) for b in d4.boxes)
+        q0 = sorted(tuple(map(float, b.quad.reshape(-1))) for b in d0.boxes)
+        matched = sum(
+            1 for q in q0
+            if any(_np.allclose(q, r, atol=1.0) for r in q4)
+        )
+        assert matched >= len(q0) - 2
+        assert abs(len(q0) - len(q4)) <= 2
