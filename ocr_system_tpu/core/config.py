@@ -129,10 +129,11 @@ class Settings(BaseModel):
     # resident for the rare rotated-component fallback. Thinnest wire AND
     # full-precision scores (no 4-bit quantization of the score gate).
     det_prob_wire_bits: int = 4
-    # stats rows per page in det_prob_wire_bits=0 mode (top-K components by
-    # pixel count). Real pages carry <300 components; overflow falls back
-    # to the exact host path over that page's map. 256 rows = 7 KB/page.
-    det_stats_k: int = 256
+    # stats rows per page in det_prob_wire_bits=0 mode. Real pages carry
+    # <300 components (bench glyph pages measured 234 incl. speckle);
+    # overflow falls back to the exact host path over that page's map.
+    # 320 rows = 17 KB/page on the wire.
+    det_stats_k: int = 320
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     det_image_buckets: tuple[int, ...] = (640, 960, 1280)

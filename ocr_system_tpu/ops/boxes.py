@@ -398,20 +398,23 @@ def boxes_from_stats(
     """Device-computed component stats -> ranked quads, WITHOUT the prob map.
 
     `stats` is ops/device_boxes.component_stats output for one page:
-    (K, 7) [count, score_sum, x0, y0, x1, y1, theta_dev] in prob-map
-    coordinates. Applies EXACTLY the gates of boxes_from_prob_map's fast
-    path (same formulas — the cross-path equivalence test in tests/test_ops
-    keeps them in sync). Returns None when this page needs the exact host
-    path (component overflow past K, or a genuinely rotated component that
-    needs min-area-rect over its pixels) — the caller then fetches that
-    page's prob map and falls back to boxes_from_prob_map.
+    (K, 13) [count, score_sum, x0, y0, x1, y1, theta, cx, cy, u0, v0,
+    u1, v1] in prob-map coordinates. Applies EXACTLY the gates of
+    boxes_from_prob_map's fast path (same formulas — the cross-path
+    equivalence test in tests/test_ops keeps them in sync). Rotated
+    components get a PRINCIPAL-AXIS box from the device-computed oriented
+    extents (near min-area-rect for elongated text; equivalence test
+    bounds the IoU). Returns None only on component overflow past K —
+    the caller then fetches that page's prob map and falls back to
+    boxes_from_prob_map.
     """
     if n_comps > stats.shape[0]:
         return None
     counts = stats[:, 0].astype(np.float64)
     sums = stats[:, 1].astype(np.float64)
     x0, y0, x1, y1 = (stats[:, i].astype(np.float64) for i in (2, 3, 4, 5))
-    dev = stats[:, 6].astype(np.float64)
+    theta = stats[:, 6].astype(np.float64)
+    dev = np.minimum(np.abs(theta), np.pi / 2 - np.abs(theta))
     present = counts > 0
     mean_scores = np.where(present, sums / np.maximum(counts, 1), 0.0)
     valid = present & (mean_scores >= box_thresh)
@@ -429,11 +432,36 @@ def boxes_from_stats(
     axis_aligned = dev < np.deg2rad(3.0)
     fast = valid & size_ok & ((fill >= 0.85) | (axis_aligned & (fill >= 0.3)))
     slow = valid & size_ok & ~fast
-    if slow.any():
-        return None
 
     boxes: list[DetectedBox] = []
     sx, sy = scale_xy
+    for comp in np.nonzero(slow)[0]:
+        # principal-axis box: rotate the centroid-relative oriented
+        # extents back into page frame (mirrors the host slow path's
+        # min_area_rect -> unclip -> size gate sequence)
+        cx, cy = stats[comp, 7], stats[comp, 8]
+        u0, v0, u1, v1 = (float(stats[comp, i]) for i in (9, 10, 11, 12))
+        w = u1 - u0
+        h = v1 - v0
+        if w < h:  # width reads along the text direction
+            w, h = h, w
+        if min(w, h) < min_size and max(w, h) < min_size * 3:
+            continue
+        ct, st = np.cos(theta[comp]), np.sin(theta[comp])
+        corners_uv = np.array(
+            [[u0, v0], [u1, v0], [u1, v1], [u0, v1]], np.float64
+        )
+        rot = np.array([[ct, -st], [st, ct]])
+        quad = (corners_uv @ rot.T + [cx, cy]).astype(np.float32)
+        quad = unclip_quad(_order_quad(quad), unclip_ratio)
+        quad[:, 0] *= sx
+        quad[:, 1] *= sy
+        if clip_wh is not None:
+            quad[:, 0] = np.clip(quad[:, 0], 0, clip_wh[0] - 1)
+            quad[:, 1] = np.clip(quad[:, 1], 0, clip_wh[1] - 1)
+        boxes.append(
+            DetectedBox(quad=quad, score=float(mean_scores[comp]))
+        )
     fast_ids = np.nonzero(fast)[0]
     if len(fast_ids):
         fx0, fx1 = x0[fast_ids], x1[fast_ids]
