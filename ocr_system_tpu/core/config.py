@@ -124,11 +124,17 @@ class Settings(BaseModel):
     # threshold is static config) + stride-4 4-bit pooled score map for the
     # component score gate: 3.2x fewer fetch bytes than 4-bit.
     # 0 = ON-DEVICE box statistics (ops/device_boxes): connected components
-    # + per-component stats computed in the det forward; only a (K, 7)
-    # stats tensor (~16 KB/page) is fetched and the map stays device-
-    # resident for the rare rotated-component fallback. Thinnest wire AND
-    # full-precision scores (no 4-bit quantization of the score gate).
-    det_prob_wire_bits: int = 4
+    # + per-component stats (incl. principal-axis oriented extents for
+    # rotated text) computed in the det forward; only a (K, 13) stats
+    # tensor (~17 KB/page) is fetched and the map stays device-resident
+    # for the component-overflow fallback. Thinnest wire, full-precision
+    # scores, and det_wall immune to tunnel-weather map-fetch spikes.
+    # DEFAULT since round 5: quality-gated at parity on the canonical
+    # 3x50 sweep (forms_e2e exact mean 0.800 == committed; e2e forms CER
+    # 0.0593 vs 0.0584; hindi 0.0753/0.9381 vs 0.0762/0.9373) with
+    # det_wall 0.43 -> 0.36 s/wave healthy and no 400 ms fetch spikes on
+    # degraded links.
+    det_prob_wire_bits: int = 0
     # stats rows per page in det_prob_wire_bits=0 mode. Real pages carry
     # <300 components (bench glyph pages measured 234 incl. speckle);
     # overflow falls back to the exact host path over that page's map.

@@ -66,6 +66,12 @@ class DetResult:
     # passes (ink walk, script vote, glue split, selection-mark/handwriting
     # CC) each re-derived it (~3-4 ms x 3-4 per page on the 1-core host)
     gray: np.ndarray | None = None
+    # page ink mask + connected components (selection_marks.page_components)
+    # computed in the DET WORKER thread: it is cv2/GIL-free CPU work
+    # (~11 ms/page) that previously ran serially inside the rec stage's
+    # _finish_page — in the det worker it fills the core during rec's
+    # device waits on the 1-core serving host
+    cc: object | None = None
 
 
 class Detector:
@@ -507,7 +513,18 @@ class Detector:
             )
             for b, q in zip(boxes, stack):
                 b.quad[...] = q
+        cc = None
+        if s.enable_selection_marks or s.enable_handwriting_detection:
+            try:
+                from ocr_system_tpu.engine.selection_marks import (
+                    page_components,
+                )
+
+                cc = page_components(gray_page)
+            except Exception:  # noqa: BLE001 - finish recomputes lazily
+                cc = None
         results[i] = DetResult(
+            cc=cc,
             boxes=boxes,
             skew_angle=applied_angle,
             page=pages[i],

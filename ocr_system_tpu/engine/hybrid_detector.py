@@ -107,6 +107,7 @@ class HybridDetector:
                     canvas_row=nd.canvas_row,
                     canvas_scale=nd.canvas_scale,
                     gray=nd.gray,
+                    cc=nd.cc,
                 )
             )
         return out

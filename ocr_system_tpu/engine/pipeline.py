@@ -226,12 +226,14 @@ class JaxOCREngine:
             t.to_layout_box() for t in find_tables(word_boxes, page.page_number)
         ]
         mark_boxes: list[dict] = []
-        cc = None
-        if (self.settings.enable_selection_marks
-                or self.settings.enable_handwriting_detection):
+        cc = getattr(det, "cc", None)
+        if cc is None and (self.settings.enable_selection_marks
+                           or self.settings.enable_handwriting_detection):
             from ocr_system_tpu.engine.selection_marks import page_components
 
             # shared mask+CC: one pass per page, on the det stage's luma
+            # (normally precomputed in the DET WORKER thread — DetResult.cc
+            # — so this runs only for detectors that don't stash it)
             cc = page_components(det.gray if det.gray is not None else pixels)
         if self.settings.enable_selection_marks:
             from ocr_system_tpu.engine.selection_marks import (

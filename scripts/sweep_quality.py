@@ -66,6 +66,11 @@ def _engine(detector: str, charset, rec_ckpt: str):
         det_checkpoint=CKPTS["det"],
         det_image_buckets=(960,),
         storage_root="storage",
+        # A/B gate for the det wire format (e.g. SWEEP_PROB_WIRE_BITS=0
+        # to gate the on-device box-stats path against the committed rows)
+        det_prob_wire_bits=int(
+            _os.environ.get("SWEEP_PROB_WIRE_BITS", "4")
+        ),
     )
     rec = Recognizer(st, charset=charset)
     if detector == "classical":
